@@ -1,0 +1,172 @@
+"""Whole-page analysis + document span assembly (single-process oracle).
+
+`analyze_page` is the end-to-end per-page kernel: binarize -> XY-cut
+segment -> (optionally) recognize -> materialized hierarchy rows. The
+Spark pipeline's Arrow-UDF stages call this same kernel per page, so the
+distributed output must equal the oracle's by construction *if and only
+if* partitioning / ordering / assembly are right — which is exactly what
+the span-sequence invariant tests.
+
+`document_spans` is the oracle for the flagship query: an interleaved
+document's ordered (kind, text, media_ref, order) span sequence
+(BASELINE.json input_hint invariant).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .binarize import otsu_binarize
+from .recognize import font_attributes, recognize_blocks
+from .segment import (IMAGE_KINDS, TEXT_KINDS, Box, Node, detect_orientation,
+                      segment)
+
+DEFAULT_PPI = 96
+
+
+@dataclass
+class PageResult:
+    blocks: list[Node]
+    width: int
+    height: int
+    psm: str
+    recognized: bool
+
+    def rows(self) -> list[dict]:
+        """Flatten to pre-order rows with the id-vector encoding of the
+        tree (SURVEY section 1.6): ids are -1 below the row's level. seq is
+        the dense pre-order rank — the reading-order 'order' leg."""
+        out: list[dict] = []
+
+        def visit(n: Node, ids: dict[str, int]) -> None:
+            row = {
+                "level": n.level,
+                "block_id": ids.get("BLOCK", -1),
+                "para_id": ids.get("PARA", -1),
+                "line_id": ids.get("TEXTLINE", -1),
+                "word_id": ids.get("WORD", -1),
+                "sym_id": ids.get("SYMBOL", -1),
+                "seq": len(out),
+                "block_type": n.block_type,
+                "left": n.box[0], "top": n.box[1],
+                "right": n.box[2], "bottom": n.box[3],
+                "baseline_x1": n.baseline[0] if n.baseline else None,
+                "baseline_y1": n.baseline[1] if n.baseline else None,
+                "baseline_x2": n.baseline[2] if n.baseline else None,
+                "baseline_y2": n.baseline[3] if n.baseline else None,
+                "text": n.text,
+                "confidence": n.confidence,
+                "is_virtual": n.virtual,
+            }
+            out.append(row)
+            for i, c in enumerate(n.children):
+                visit(c, {**ids, c.level: i})
+
+        for bi, b in enumerate(self.blocks):
+            visit(b, {"BLOCK": bi})
+        return out
+
+    def block_spans(self) -> list[dict]:
+        """Reading-ordered block-level spans: the page's contribution to
+        the document span sequence. Text blocks -> kind='text' with rolled
+        up text; image/line blocks -> kind='image' (PolyBlockType.isText /
+        isImage split, PublicTypes.java:178-192)."""
+        spans = []
+        for i, b in enumerate(self.blocks):
+            if b.block_type in TEXT_KINDS:
+                spans.append({"kind": "text", "text": b.text, "block_idx": i})
+            else:
+                spans.append({"kind": "image", "text": None, "block_idx": i})
+        return spans
+
+    def page_text(self) -> str:
+        """GetUTF8Text analog (TessAPI.java:483-487): text blocks joined by
+        blank lines, reading order."""
+        return "\n\n".join(b.text for b in self.blocks
+                           if b.block_type in TEXT_KINDS and b.text)
+
+    def mean_confidence(self) -> int:
+        """MeanTextConf analog (TessAPI.java:514-517): int mean of word
+        confidences, 0 when no words."""
+        confs = [w.confidence
+                 for blk in self.blocks if blk.block_type in TEXT_KINDS
+                 for para in blk.children for line in para.children
+                 for w in line.children if w.confidence is not None]
+        return int(np.mean(confs)) if confs else 0
+
+    def orientation(self, block_idx: int = 0) -> dict:
+        raise_if = self.blocks
+        if not raise_if:
+            return {"orientation": "UP", "writing_direction": "LTR",
+                    "textline_order": "TTB", "deskew_angle": 0.0}
+        return self.blocks[block_idx].orientation_info  # type: ignore[attr-defined]
+
+
+def decode_payload(payload: bytes, width: int, height: int, bands: int) -> np.ndarray:
+    """Raw row-major uint8 payload -> numpy raster (the rebuild of
+    ImageIOHelper.convertImageData:249-257 byte-buffer handoff; zero-copy
+    from Arrow on the Spark side)."""
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    if bands == 1:
+        return arr.reshape(height, width)
+    return arr.reshape(height, width, bands)
+
+
+def analyze_page(img: np.ndarray, psm: str = "AUTO", roi: Box | None = None,
+                 whitelist: str | None = None, recognize: bool = True,
+                 ppi: int = DEFAULT_PPI) -> PageResult:
+    """Full per-page analysis.
+
+    recognize=False mirrors analyzeLayout (layout only, no classification
+    — initForAnalysePage, TesseractHandle.java:380-384); recognize=True
+    mirrors recognize() (TesseractHandle.recognize:558-567).
+    """
+    ink = otsu_binarize(img)
+    blocks = segment(ink, psm=psm, roi=roi)
+    if recognize:
+        recognize_blocks(blocks, whitelist=whitelist)
+        for blk in blocks:
+            if blk.block_type not in TEXT_KINDS:
+                continue
+            for para in blk.children:
+                for line in para.children:
+                    lh = line.box[3] - line.box[1]
+                    for w in line.children:
+                        w.font = font_attributes(w, lh, ppi)  # type: ignore[attr-defined]
+    for blk in blocks:
+        blk.orientation_info = detect_orientation(ink, blk.box)  # type: ignore[attr-defined]
+    h, w = ink.shape
+    return PageResult(blocks=blocks, width=w, height=h, psm=psm,
+                      recognized=recognize)
+
+
+def document_spans(doc: dict, media_lookup, psm: str = "AUTO") -> list[dict]:
+    """Oracle for the flagship query: interleaved doc -> ordered spans.
+
+    media_lookup: media_ref -> media row dict (payload/width/height/bands).
+    Output rows: {doc_id, seq, kind, text, media_ref} — seq dense 0..n-1 in
+    (offset, within-page reading order). Sub-image spans carry
+    media_ref = '<ref>#b<block_idx>' so provenance survives.
+    """
+    out = []
+    spans = sorted(doc["spans"], key=lambda s: s["offset"])
+    for s in spans:
+        if s["kind"] == "text":
+            out.append({"kind": "text", "text": s["text"], "media_ref": None})
+        else:
+            m = media_lookup(s["media_ref"])
+            img = decode_payload(m["payload"], m["width"], m["height"], m["bands"])
+            res = analyze_page(img, psm=psm)
+            for bs in res.block_spans():
+                if bs["kind"] == "text":
+                    out.append({"kind": "text", "text": bs["text"],
+                                "media_ref": s["media_ref"]})
+                else:
+                    out.append({"kind": "image", "text": None,
+                                "media_ref": f"{s['media_ref']}#b{bs['block_idx']}"})
+    for i, r in enumerate(out):
+        r["doc_id"] = doc["doc_id"]
+        r["seq"] = i
+    return out

@@ -1,0 +1,299 @@
+"""XY-cut page segmentation into the 5-level reading-ordered hierarchy.
+
+Rebuilds the native AnalyseLayout stage (contract: TessAPI.java:420-434;
+surfaced by ImageAnalyzerFactory.analyzeLayout, ImageAnalyzerFactory.java:
+472-488). Levels mirror LayoutIterator.Level (LayoutIterator.java:97-117):
+BLOCK > PARA > TEXTLINE > WORD > SYMBOL, in reading order.
+
+Algorithm: recursive projection-profile cuts. A region first tries a
+vertical split on wide blank column bands (multi-column layouts, ordered
+left-to-right), then a horizontal split on tall blank row bands (blocks,
+top-to-bottom). Leaves are blocks; blocks classify to PolyBlockType kinds
+(PublicTypes.java:125-193) by ink density/shape; text blocks split further
+into paragraphs / lines / words / symbols by decreasing gap thresholds.
+
+Determinism: all splits derive from integer projections with fixed
+thresholds; sibling order is fixed by geometry (left/top ascending). No
+adaptive state (TessAPI AdaptToWordStr deliberately not rebuilt — SURVEY
+section 4.3).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..errors import InvalidParameterError
+from .cc import fit_baseline
+
+# Gap thresholds sit strictly between the renderer geometry levels
+# (datagen: CHAR_GAP=1 < WORD_GAP=4 < LINE_GAP=3.. see datagen.py) but the
+# segmenter must work for any page honoring the ordering, not just ours.
+SPLIT_GAP = 10   # >= this blank band (rows or cols) => block/column cut
+PARA_GAP_MIN = 5   # blank rows >= this inside a block => paragraph break
+WORD_GAP_MIN = 3   # blank cols >= this inside a line  => word break
+
+# PolyBlockType vocabulary (PublicTypes.java:125-169)
+FLOWING_TEXT = "FLOWING_TEXT"
+FLOWING_IMAGE = "FLOWING_IMAGE"
+HORZ_LINE = "HORZ_LINE"
+VERT_LINE = "VERT_LINE"
+UNKNOWN = "UNKNOWN"
+
+TEXT_KINDS = {"FLOWING_TEXT", "HEADING_TEXT", "PULLOUT_TEXT", "TABLE",
+              "VERTICAL_TEXT", "CAPTION_TEXT"}   # isText, PublicTypes.java:178-184
+IMAGE_KINDS = {"FLOWING_IMAGE", "HEADING_IMAGE", "PULLOUT_IMAGE"}  # isImage, :186-192
+
+LEVELS = ("BLOCK", "PARA", "TEXTLINE", "WORD", "SYMBOL")
+
+# PageSegMode vocabulary (PublicTypes.java:66-120)
+PSM_MODES = ("OSD_ONLY", "AUTO_OSD", "AUTO_ONLY", "AUTO", "SINGLE_COLUMN",
+             "SINGLE_BLOCK_VERT_TEXT", "SINGLE_BLOCK", "SINGLE_LINE",
+             "SINGLE_WORD", "CIRCLE_WORD", "SINGLE_CHAR")
+
+Box = tuple[int, int, int, int]   # (left, top, right, bottom) half-open
+
+
+@dataclass
+class Node:
+    """One hierarchy node (materialized analog of the native PAGE_RES tree,
+    RecognitionResultsIterator.java:33-38)."""
+    level: str
+    box: Box
+    block_type: str = UNKNOWN
+    baseline: Box | None = None
+    children: list["Node"] = field(default_factory=list)
+    text: str | None = None          # filled by recognition
+    confidence: float | None = None
+    virtual: bool = False            # non-text block's synthesized child
+    bitmap: np.ndarray | None = None  # SYMBOL only: ink crop for recognition
+
+
+def _blank_runs(profile: np.ndarray) -> list[tuple[int, int]]:
+    """Half-open [start, end) runs where profile == 0, interior only."""
+    nz = np.flatnonzero(profile)
+    if len(nz) == 0:
+        return []
+    runs = []
+    prev = nz[0]
+    for v in nz[1:]:
+        if v > prev + 1:
+            runs.append((int(prev + 1), int(v)))
+        prev = v
+    return runs
+
+
+def _trim(ink: np.ndarray, box: Box) -> Box | None:
+    """Shrink box to its ink bounding box; None if empty."""
+    l, t, r, b = box
+    sub = ink[t:b, l:r]
+    rows = np.flatnonzero(sub.any(axis=1))
+    cols = np.flatnonzero(sub.any(axis=0))
+    if len(rows) == 0:
+        return None
+    return (l + int(cols[0]), t + int(rows[0]),
+            l + int(cols[-1]) + 1, t + int(rows[-1]) + 1)
+
+
+def _segments(profile: np.ndarray, min_gap: int) -> list[tuple[int, int]]:
+    """Split a projection profile at blank runs >= min_gap.
+
+    Returns half-open content segments in ascending order.
+    """
+    cuts = [g for g in _blank_runs(profile) if g[1] - g[0] >= min_gap]
+    nz = np.flatnonzero(profile)
+    start, end = int(nz[0]), int(nz[-1]) + 1
+    segs = []
+    pos = start
+    for gs, ge in cuts:
+        if gs > pos:
+            segs.append((pos, gs))
+        pos = ge
+    if end > pos:
+        segs.append((pos, end))
+    return segs
+
+
+def _xycut(ink: np.ndarray, box: Box, allow_vsplit: bool, out: list[Box]) -> None:
+    box2 = _trim(ink, box)
+    if box2 is None:
+        return
+    l, t, r, b = box2
+    sub = ink[t:b, l:r]
+    if allow_vsplit:
+        col_segs = _segments(sub.sum(axis=0), SPLIT_GAP)
+        if len(col_segs) > 1:
+            for cs, ce in col_segs:            # columns: left -> right
+                _xycut(ink, (l + cs, t, l + ce, b), True, out)
+            return
+    row_segs = _segments(sub.sum(axis=1), SPLIT_GAP)
+    if len(row_segs) > 1:
+        for rs, re in row_segs:                # blocks: top -> bottom
+            _xycut(ink, (l, t + rs, r, t + re), True, out)
+        return
+    out.append(box2)
+
+
+def classify_block(ink: np.ndarray, box: Box) -> str:
+    """PolyBlockType from ink density & shape (the text/media 'kind'
+    distinction of PublicTypes.isText/isImage)."""
+    l, t, r, b = box
+    sub = ink[t:b, l:r]
+    h, w = sub.shape
+    density = float(sub.mean()) if sub.size else 0.0
+    if density >= 0.85:
+        if h <= 3 and w >= 4 * h:
+            return HORZ_LINE
+        if w <= 3 and h >= 4 * w:
+            return VERT_LINE
+        return FLOWING_IMAGE
+    return FLOWING_TEXT
+
+
+def _split_axis(ink: np.ndarray, box: Box, axis: int, min_gap: int) -> list[Box]:
+    """Child boxes of `box` split along axis (0=rows, 1=cols), trimmed."""
+    l, t, r, b = box
+    sub = ink[t:b, l:r]
+    profile = sub.sum(axis=1 - axis)
+    out = []
+    for s, e in _segments(profile, min_gap):
+        child = (l, t + s, r, t + e) if axis == 0 else (l + s, t, l + e, b)
+        trimmed = _trim(ink, child)
+        if trimmed is not None:
+            out.append(trimmed)
+    return out
+
+
+def _build_text_block(ink: np.ndarray, box: Box) -> Node:
+    blk = Node("BLOCK", box, FLOWING_TEXT, baseline=None)
+    for pbox in _split_axis(ink, box, 0, PARA_GAP_MIN):
+        para = Node("PARA", pbox, FLOWING_TEXT)
+        for lbox in _split_axis(ink, pbox, 0, 1):
+            line = Node("TEXTLINE", lbox, FLOWING_TEXT,
+                        baseline=fit_baseline(ink, lbox))
+            for wbox in _split_axis(ink, lbox, 1, WORD_GAP_MIN):
+                word = Node("WORD", wbox, FLOWING_TEXT,
+                            baseline=fit_baseline(ink, wbox))
+                for sbox in _split_axis(ink, wbox, 1, 1):
+                    sl, st, sr, sb = sbox
+                    word.children.append(
+                        Node("SYMBOL", sbox, FLOWING_TEXT,
+                             baseline=word.baseline,
+                             bitmap=ink[st:sb, sl:sr].copy())
+                    )
+                line.children.append(word)
+            para.children.append(line)
+        blk.children.append(para)
+    blk.baseline = blk.children[-1].children[-1].baseline if blk.children else None
+    return blk
+
+
+def _build_nontext_block(box: Box, btype: str) -> Node:
+    """Non-text block: exactly one virtual PARA/TEXTLINE/WORD child chain,
+    no SYMBOL (LayoutIterator.java:176-183 — 'a non-text block has exactly
+    one paragraph/line/word'; SYMBOL iteration skips it)."""
+    blk = Node("BLOCK", box, btype)
+    para = Node("PARA", box, btype, virtual=True)
+    line = Node("TEXTLINE", box, btype, virtual=True)
+    word = Node("WORD", box, btype, virtual=True)
+    line.children.append(word)
+    para.children.append(line)
+    blk.children.append(para)
+    return blk
+
+
+def segment(ink: np.ndarray, psm: str = "AUTO", roi: Box | None = None) -> list[Node]:
+    """{0,1} ink map -> reading-ordered list of BLOCK nodes.
+
+    psm mirrors PageSegMode (PublicTypes.java:66-120): AUTO / AUTO_OSD /
+    AUTO_ONLY do full XY-cut; SINGLE_COLUMN disables vertical cuts;
+    SINGLE_BLOCK treats the page as one block; SINGLE_LINE / SINGLE_WORD /
+    SINGLE_CHAR short-circuit lower levels.
+
+    roi restricts analysis to a sub-rectangle but coordinates remain
+    full-image (TesseractHandle.setRectangle:525-529 + LayoutIterator.java:
+    80-83): we analyze the slice and the boxes come out in page coords
+    because the ink map is never re-based.
+    """
+    if psm not in PSM_MODES:
+        # PublicTypes.valueOf throws on unknown mode ints (:111-119)
+        raise InvalidParameterError(f"unknown page segmentation mode {psm!r}",
+                                    {"psm": psm})
+    h, w = ink.shape
+    page_box: Box = roi if roi is not None else (0, 0, w, h)
+    if roi is not None:
+        mask = np.zeros_like(ink)
+        l, t, r, b = roi
+        mask[t:b, l:r] = ink[t:b, l:r]
+        ink = mask
+    block_boxes: list[Box] = []
+    if psm in ("AUTO", "AUTO_OSD", "AUTO_ONLY", "OSD_ONLY"):
+        _xycut(ink, page_box, True, block_boxes)
+    elif psm == "SINGLE_COLUMN":
+        _xycut(ink, page_box, False, block_boxes)
+    else:   # SINGLE_BLOCK / SINGLE_LINE / SINGLE_WORD / SINGLE_CHAR / SINGLE_BLOCK_VERT_TEXT / CIRCLE_WORD
+        tb = _trim(ink, page_box)
+        if tb is not None:
+            block_boxes.append(tb)
+    blocks: list[Node] = []
+    for bb in block_boxes:
+        btype = classify_block(ink, bb)
+        if btype in TEXT_KINDS:
+            blocks.append(_build_text_block(ink, bb))
+        else:
+            blocks.append(_build_nontext_block(bb, btype))
+    if psm == "SINGLE_LINE":
+        blocks = _collapse(blocks, "TEXTLINE")
+    elif psm in ("SINGLE_WORD", "CIRCLE_WORD"):
+        blocks = _collapse(blocks, "WORD")
+    elif psm == "SINGLE_CHAR":
+        blocks = _collapse(blocks, "SYMBOL")
+    return blocks
+
+
+def _collapse(blocks: list[Node], keep_level: str) -> list[Node]:
+    """For SINGLE_LINE/WORD/CHAR modes: keep only the first chain down to
+    keep_level (the page is assumed to contain a single unit)."""
+    def prune(node: Node, depth: int) -> None:
+        if LEVELS[depth] == keep_level:
+            if keep_level != "SYMBOL":
+                for child in node.children:
+                    prune(child, depth + 1)
+            return
+        node.children = node.children[:1]
+        for child in node.children:
+            prune(child, depth + 1)
+    for b in blocks[:1]:
+        prune(b, 0)
+    return blocks[:1]
+
+
+def detect_orientation(ink: np.ndarray, box: Box) -> dict:
+    """Block orientation (LayoutIterator.getOrientation:318-354 analog).
+
+    Projection-profile variance argmax across the two axes decides UP vs
+    RIGHT (we never render rotated pages, but the computation is real);
+    deskew from the baseline slope of the widest row band.
+    """
+    l, t, r, b = box
+    sub = ink[t:b, l:r]
+    if sub.size == 0 or sub.sum() == 0:
+        return {"orientation": "UP", "writing_direction": "LTR",
+                "textline_order": "TTB", "deskew_angle": 0.0}
+    row_var = float(np.var(sub.sum(axis=1)))
+    col_var = float(np.var(sub.sum(axis=0)))
+    orientation = "UP" if row_var >= col_var else "RIGHT"
+    # deskew from the top textline band only (whole-block fits are skewed
+    # by ragged line widths)
+    row_ink = sub.any(axis=1)
+    first = int(np.argmax(row_ink))
+    stop = first
+    while stop < sub.shape[0] and row_ink[stop]:
+        stop += 1
+    x1, y1, x2, y2 = fit_baseline(ink, (l, t + first, r, t + stop))
+    dx = max(x2 - x1, 1)
+    deskew = float(np.arctan2(-(y2 - y1), dx))   # radians anticlockwise
+    deskew = float(np.clip(deskew, -np.pi / 4, np.pi / 4))
+    return {"orientation": orientation, "writing_direction": "LTR",
+            "textline_order": "TTB", "deskew_angle": deskew}
