@@ -1,38 +1,78 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship OCR-span extraction at sf0.001 — derives the
+  interleaved text+media corpus deterministically from the driver's
+  documents table ids, renders pages distributed, runs the 3-stage
+  extraction pipeline, returns the ordered span table.
+- ``queries()`` / ``oracle_sql()``: operator registry with DuckDB parity
+  oracles (org_dharts_dia_tesseract_spark.queries) plus rows-only entries
+  for the non-SQL-expressible raster pipeline operators.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_SMOKE_SF_DIR = "/root/testdata/sf0.001"
+_PIPELINE_DOC_CAP = 400   # doc budget for per-query raster pipeline runs
+
+
+def _interleaved_corpus(spark: SparkSession, sf_dir: str, cap: int):
+    """Derive the interleaved documents+media tables from the driver's
+    flat documents table (doc ids only; content is a pure function of id)."""
+    from org_dharts_dia_tesseract_spark.sources import corpus_tables
+    from org_dharts_dia_tesseract_spark.sources.tables import load_table
+    n = load_table(spark, sf_dir, "documents").count()
+    return corpus_tables(spark, min(n, cap))
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from org_dharts_dia_tesseract_spark.operators import extract_spans
+    docs, media = _interleaved_corpus(spark, _SMOKE_SF_DIR, 10_000)
+    return extract_spans(docs, media, salt_partitions=32)
+
+
+def _ocr_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from org_dharts_dia_tesseract_spark.operators import extract_spans
+    docs, media = _interleaved_corpus(spark, sf_dir, _PIPELINE_DOC_CAP)
+    return extract_spans(docs, media, salt_partitions=32)
+
+
+def _ocr_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from org_dharts_dia_tesseract_spark.operators import analyze_documents
+    docs, media = _interleaved_corpus(spark, sf_dir, _PIPELINE_DOC_CAP)
+    return analyze_documents(docs, media, salt_partitions=32)
+
+
+def _ocr_layout_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """analyzeLayout mode: no classification (level counts per page)."""
+    from org_dharts_dia_tesseract_spark.operators import analyze_documents
+    docs, media = _interleaved_corpus(spark, sf_dir, _PIPELINE_DOC_CAP)
+    h = analyze_documents(docs, media, recognize=False, salt_partitions=32)
+    return (h.groupBy("media_ref", "level")
+            .count().withColumnRenamed("count", "n_nodes"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md section 2."""
+    from org_dharts_dia_tesseract_spark.queries import spark_queries
+    out = dict(spark_queries())
+    out["ocr_extract_spans"] = _ocr_extract_spans     # rows-only (raster)
+    out["ocr_hierarchy"] = _ocr_hierarchy             # rows-only (raster)
+    out["ocr_layout_only"] = _ocr_layout_only         # rows-only (raster)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL for each SQL-expressible query; raster
+    pipeline ops are omitted -> driver records rows-only checks."""
+    from org_dharts_dia_tesseract_spark.queries import duckdb_oracles
+    return dict(duckdb_oracles())

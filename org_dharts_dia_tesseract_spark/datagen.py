@@ -233,12 +233,12 @@ def ground_truth_blocks(media_ref: str) -> list[dict]:
     return out
 
 
-def make_doc(doc_id: str) -> tuple[dict, list[dict]]:
-    """One interleaved document + its media rows.
+def doc_spans_for(doc_id: str) -> list[dict]:
+    """Span structure of one document (no rendering — cheap).
 
-    Returns (document_row, media_rows). FIXTURES.md rules: 1-8 spans/doc,
-    ~20% image spans; 1% skew-tail docs carry 32-128 image spans
-    (exercises salted repartitioning, BASELINE.json north_star).
+    FIXTURES.md rules: 1-8 spans/doc, ~20% image spans; 1% skew-tail docs
+    carry 32-128 image spans (exercises salted repartitioning,
+    BASELINE.json north_star).
     """
     rng = np.random.default_rng(_seed_from("doc:" + doc_id))
     skew = rng.random() < 0.01
@@ -248,24 +248,36 @@ def make_doc(doc_id: str) -> tuple[dict, list[dict]]:
     else:
         n_spans = int(rng.integers(1, 9))
         p_image = 0.2
-    spans, media_rows = [], []
+    spans = []
     for off in range(n_spans):
         if rng.random() < p_image:
-            ref = f"m-{doc_id}-{off}"
             spans.append({"kind": "image", "text": None,
-                          "media_ref": ref, "offset": off})
-            img = render_page(page_spec_for(ref), noise_key=ref)
-            h, w = img.shape
-            media_rows.append({
-                "media_ref": ref, "width": int(w), "height": int(h),
-                "bands": 1,
-                "dpi": None if rng.random() < 0.3 else int(rng.choice([72, 96, 300])),
-                "payload": img.tobytes(),
-            })
+                          "media_ref": f"m-{doc_id}-{off}", "offset": off})
         else:
             spans.append({"kind": "text",
                           "text": _rand_words(rng, int(rng.integers(2, 9))),
                           "media_ref": None, "offset": off})
+    return spans
+
+
+def media_row_for(media_ref: str) -> dict:
+    """Render one referenced page (heavy — distributes over refs)."""
+    rng = np.random.default_rng(_seed_from("media:" + media_ref))
+    img = render_page(page_spec_for(media_ref), noise_key=media_ref)
+    h, w = img.shape
+    return {
+        "media_ref": media_ref, "width": int(w), "height": int(h),
+        "bands": 1,
+        "dpi": None if rng.random() < 0.3 else int(rng.choice([72, 96, 300])),
+        "payload": img.tobytes(),
+    }
+
+
+def make_doc(doc_id: str) -> tuple[dict, list[dict]]:
+    """One interleaved document + its media rows (single-process path)."""
+    spans = doc_spans_for(doc_id)
+    media_rows = [media_row_for(s["media_ref"])
+                  for s in spans if s["kind"] == "image"]
     return {"doc_id": doc_id, "spans": spans}, media_rows
 
 

@@ -1,0 +1,188 @@
+"""The flagship distributed pipeline: interleaved docs -> ordered OCR spans.
+
+Spark-first rebuild of the reference's analyze/recognize flows
+(ImageAnalyzerFactory.analyzeLayout:472-488 / recognize:491-507, both
+delegating to the native engine): the per-page kernel is the same numpy
+code the oracle runs (oracle.analyze_page), executed as a vectorized
+`mapInPandas` stage over Arrow batches; everything around it — explode,
+join, skew defusal, ordering, assembly — is declarative DataFrame API so
+Catalyst plans it (predicate pushdown, AQE shuffle sizing, broadcast
+selection).
+
+Scale design (SURVEY sections 3.4 / 4.3):
+- spans explode first; only image spans join media (1:1 on media_ref).
+  The join keys are unique, so AQE's skew-join split handles fat docs;
+  additionally we repartition on (doc_id, offset) before the OCR stage so
+  a 128-image skew-tail document fans out across tasks instead of
+  serializing on one (salted repartitioning of the north rule — the salt
+  is the span offset, which is free and perfectly balanced).
+- raster payload columns are dropped inside the OCR stage; nothing heavy
+  crosses the final shuffle.
+- the final ordering is an explicit window over (offset, sub) — Spark has
+  no implicit order; `seq` is a dense per-doc rank, never
+  monotonically_increasing_id (determinism).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SPAN_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("offset", T.IntegerType(), False),
+    T.StructField("sub", T.IntegerType(), False),
+    T.StructField("kind", T.StringType(), False),
+    T.StructField("text", T.StringType(), True),
+    T.StructField("media_ref", T.StringType(), True),
+])
+
+OUTPUT_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("seq", T.LongType(), False),
+    T.StructField("kind", T.StringType(), False),
+    T.StructField("text", T.StringType(), True),
+    T.StructField("media_ref", T.StringType(), True),
+])
+
+HIERARCHY_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("media_ref", T.StringType(), False),
+    T.StructField("offset", T.IntegerType(), False),
+    T.StructField("level", T.StringType(), False),
+    T.StructField("block_id", T.IntegerType(), False),
+    T.StructField("para_id", T.IntegerType(), False),
+    T.StructField("line_id", T.IntegerType(), False),
+    T.StructField("word_id", T.IntegerType(), False),
+    T.StructField("sym_id", T.IntegerType(), False),
+    T.StructField("seq", T.IntegerType(), False),
+    T.StructField("block_type", T.StringType(), False),
+    T.StructField("left", T.IntegerType(), False),
+    T.StructField("top", T.IntegerType(), False),
+    T.StructField("right", T.IntegerType(), False),
+    T.StructField("bottom", T.IntegerType(), False),
+    T.StructField("baseline_x1", T.IntegerType(), True),
+    T.StructField("baseline_y1", T.IntegerType(), True),
+    T.StructField("baseline_x2", T.IntegerType(), True),
+    T.StructField("baseline_y2", T.IntegerType(), True),
+    T.StructField("text", T.StringType(), True),
+    T.StructField("confidence", T.FloatType(), True),
+    T.StructField("is_virtual", T.BooleanType(), False),
+])
+
+
+def _exploded(documents: DataFrame) -> DataFrame:
+    """documents -> one row per span (S2 posexplode mapping)."""
+    return documents.select(
+        "doc_id",
+        F.explode("spans").alias("span"),
+    ).select(
+        "doc_id",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+
+def _joined_images(documents: DataFrame, media: DataFrame,
+                   broadcast_media: bool) -> DataFrame:
+    img = _exploded(documents).where(F.col("kind") == "image") \
+        .select("doc_id", "offset", "media_ref")
+    m = F.broadcast(media) if broadcast_media else media
+    return img.join(m, "media_ref")
+
+
+def _ocr_stage(rows: DataFrame, psm: str, salt_partitions: int | None) -> DataFrame:
+    """Image-span rows (with payload) -> block-level sub-spans."""
+    if salt_partitions:
+        rows = rows.repartition(salt_partitions, "doc_id", "offset")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..oracle.page import analyze_page, decode_payload
+        from ..oracle.segment import TEXT_KINDS
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in SPAN_SCHEMA}
+            for r in pdf.itertuples(index=False):
+                img = decode_payload(r.payload, r.width, r.height, r.bands)
+                res = analyze_page(img, psm=psm)
+                for i, blk in enumerate(res.blocks):
+                    is_text = blk.block_type in TEXT_KINDS
+                    out["doc_id"].append(r.doc_id)
+                    out["offset"].append(r.offset)
+                    out["sub"].append(i)
+                    out["kind"].append("text" if is_text else "image")
+                    out["text"].append(blk.text if is_text else None)
+                    out["media_ref"].append(
+                        r.media_ref if is_text else f"{r.media_ref}#b{i}")
+            yield pd.DataFrame(out)
+
+    return rows.mapInPandas(run, SPAN_SCHEMA)
+
+
+def extract_spans(documents: DataFrame, media: DataFrame, *,
+                  psm: str = "AUTO",
+                  broadcast_media: bool = False,
+                  salt_partitions: int | None = None) -> DataFrame:
+    """Flagship query: (documents, media) -> ordered span table
+    (doc_id, seq, kind, text, media_ref) — the invariant's exact shape
+    (FIXTURES.md section 4 / BASELINE.json input_hint)."""
+    text_spans = (_exploded(documents)
+                  .where(F.col("kind") == "text")
+                  .select("doc_id", "offset", F.lit(0).alias("sub"),
+                          "kind", "text", "media_ref"))
+    ocr_spans = _ocr_stage(
+        _joined_images(documents, media, broadcast_media),
+        psm, salt_partitions)
+    all_spans = text_spans.unionByName(ocr_spans)
+    w = Window.partitionBy("doc_id").orderBy("offset", "sub")
+    return (all_spans
+            .withColumn("seq", (F.row_number().over(w) - 1).cast("long"))
+            .select("doc_id", "seq", "kind", "text", "media_ref"))
+
+
+def analyze_documents(documents: DataFrame, media: DataFrame, *,
+                      psm: str = "AUTO", recognize: bool = True,
+                      whitelist: str | None = None,
+                      roi: tuple[int, int, int, int] | None = None,
+                      broadcast_media: bool = False,
+                      salt_partitions: int | None = None) -> DataFrame:
+    """Full hierarchy materialization: one row per node per page
+    (the DataFrame form of the native PAGE_RES tree — SURVEY section 1.6).
+
+    recognize=False is analyzeLayout (no classification cost); whitelist
+    mirrors tessedit_char_whitelist; roi mirrors setRectangle (full-image
+    coordinates preserved).
+    """
+    rows = _joined_images(documents, media, broadcast_media)
+    if salt_partitions:
+        rows = rows.repartition(salt_partitions, "doc_id", "offset")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..oracle.page import analyze_page, decode_payload
+        for pdf in batches:
+            frames = []
+            for r in pdf.itertuples(index=False):
+                img = decode_payload(r.payload, r.width, r.height, r.bands)
+                res = analyze_page(img, psm=psm, recognize=recognize,
+                                   whitelist=whitelist, roi=roi)
+                rws = res.rows()
+                if not rws:
+                    continue
+                f = pd.DataFrame(rws)
+                f.insert(0, "doc_id", r.doc_id)
+                f.insert(1, "media_ref", r.media_ref)
+                f.insert(2, "offset", r.offset)
+                for c in ("baseline_x1", "baseline_y1",
+                          "baseline_x2", "baseline_y2"):
+                    f[c] = f[c].astype("Int32")
+                frames.append(f)
+            if frames:
+                cat = pd.concat(frames, ignore_index=True)
+                yield cat[[f.name for f in HIERARCHY_SCHEMA]]
+
+    return rows.mapInPandas(run, HIERARCHY_SCHEMA)

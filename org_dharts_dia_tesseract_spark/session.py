@@ -1,0 +1,42 @@
+"""SparkSession factory with the engine's scale-oriented defaults.
+
+Settings follow SURVEY section 4.3 / BASELINE.json north_star: AQE on
+(shuffle coalescing + skew-join splitting), Arrow enabled with small
+record batches (pages are fat rows — a batch of rasters must fit executor
+memory), and a shuffle-partition count sized for the local test rig but
+overridable for cluster runs via normal spark-submit conf.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+ARROW_BATCH_ROWS = 64   # raster rows are ~5-50 KB; keep batches modest
+
+
+def get_spark(master: str | None = None, app_name: str = "dia-engine",
+              shuffle_partitions: int | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") \
+        or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    if shuffle_partitions is None:
+        # local[N] -> N; cluster masters fall back to 2x default parallelism
+        n = master.split("[")[-1].rstrip("]") if "[" in master else "64"
+        shuffle_partitions = 64 if n == "*" else max(int(n), 8)
+    b = (
+        SparkSession.builder.master(master).appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                str(ARROW_BATCH_ROWS))
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
