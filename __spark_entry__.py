@@ -37,26 +37,26 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     from org_dharts_dia_tesseract_spark.operators import extract_spans
     docs, media = _interleaved_corpus(spark, _SMOKE_SF_DIR, 10_000)
-    return extract_spans(docs, media, salt_partitions=32)
+    return extract_spans(docs, media)
 
 
 def _ocr_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from org_dharts_dia_tesseract_spark.operators import extract_spans
     docs, media = _interleaved_corpus(spark, sf_dir, _PIPELINE_DOC_CAP)
-    return extract_spans(docs, media, salt_partitions=32)
+    return extract_spans(docs, media)
 
 
 def _ocr_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from org_dharts_dia_tesseract_spark.operators import analyze_documents
     docs, media = _interleaved_corpus(spark, sf_dir, _PIPELINE_DOC_CAP)
-    return analyze_documents(docs, media, salt_partitions=32)
+    return analyze_documents(docs, media)
 
 
 def _ocr_layout_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     """analyzeLayout mode: no classification (level counts per page)."""
     from org_dharts_dia_tesseract_spark.operators import analyze_documents
     docs, media = _interleaved_corpus(spark, sf_dir, _PIPELINE_DOC_CAP)
-    h = analyze_documents(docs, media, recognize=False, salt_partitions=32)
+    h = analyze_documents(docs, media, recognize=False)
     return (h.groupBy("media_ref", "level")
             .count().withColumnRenamed("count", "n_nodes"))
 

@@ -11,11 +11,15 @@ selection).
 
 Scale design (SURVEY sections 3.4 / 4.3):
 - spans explode first; only image spans join media (1:1 on media_ref).
-  The join keys are unique, so AQE's skew-join split handles fat docs;
-  additionally we repartition on (doc_id, offset) before the OCR stage so
-  a 128-image skew-tail document fans out across tasks instead of
-  serializing on one (salted repartitioning of the north rule — the salt
-  is the span offset, which is free and perfectly balanced).
+  Locally the lean span side is broadcast (verified BuildLeft in the
+  plan), so raster payloads NEVER shuffle; at cluster scale, where the
+  span side exceeds the broadcast threshold, Catalyst falls back to a
+  shuffled join on media_ref — a per-page key, so partitioning is
+  uniform regardless of how image-heavy any document is. That per-page
+  fan-out IS the skew defusal of the north rule: a 128-image skew-tail
+  doc lands on ~128 different tasks by construction. `salt_partitions`
+  forces an extra (payload-shuffling) repartition on (doc_id, offset)
+  and exists for media-size-skew pathologies only — leave it None.
 - raster payload columns are dropped inside the OCR stage; nothing heavy
   crosses the final shuffle.
 - the final ordering is an explicit window over (offset, sub) — Spark has

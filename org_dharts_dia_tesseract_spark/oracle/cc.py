@@ -115,7 +115,11 @@ def fit_baseline(ink: np.ndarray, box: tuple[int, int, int, int]) -> tuple[int, 
     if len(xs) < 2 or np.ptp(xs) == 0:
         y = int(round(ys.mean())) + t + 1
         return (l, y, r, y)
-    slope, intercept = np.polyfit(xs, ys, 1)
+    # closed-form least squares (polyfit/lstsq are ~10x slower per call)
+    mx, my = xs.mean(), ys.mean()
+    dxs = xs - mx
+    slope = float((dxs * (ys - my)).sum() / (dxs * dxs).sum())
+    intercept = my - slope * mx
     y1 = int(round(intercept)) + t + 1
     y2 = int(round(slope * (ws - 1) + intercept)) + t + 1
     return (l, y1, r, y2)

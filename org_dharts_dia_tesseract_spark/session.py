@@ -34,7 +34,20 @@ def get_spark(master: str | None = None, app_name: str = "dia-engine",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                 str(ARROW_BATCH_ROWS))
+        # raster payload rows are fat (KBs-MBs): the default 4096-row
+        # vectorized reader batch needs one contiguous multi-MB buffer per
+        # column and fails under fragmentation; small batches keep scans of
+        # media tables memory-safe at any page size
+        .config("spark.sql.parquet.columnarReaderBatchSize", "256")
+        # fat-binary scans: smaller split target + high file-open cost
+        # keep task counts high (small-file packing would otherwise
+        # coalesce the media scan down to a handful of partitions and cap
+        # the OCR stage's parallelism)
+        .config("spark.sql.files.maxPartitionBytes", "8m")
+        .config("spark.sql.files.openCostInBytes", "8m")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
