@@ -1,0 +1,121 @@
+"""Whole-page output operators over the materialized hierarchy (the
+rebuild of the 2.B JNA output surface: GetUTF8Text / GetHOCRText /
+GetBoxText / MeanTextConf / AllWordConfidences / TIFF merge).
+
+All are declarative aggregations over the hierarchy DataFrame produced by
+operators.extract.analyze_documents — ordered string assembly uses
+array_sort(collect_list(struct(...))) so results are deterministic under
+any partitioning (Spark guarantees no implicit order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_TEXT_KINDS = ("FLOWING_TEXT", "HEADING_TEXT", "PULLOUT_TEXT", "TABLE",
+               "VERTICAL_TEXT", "CAPTION_TEXT")
+
+
+def _ordered_join(df: DataFrame, keys: list[str], order_col: str,
+                  frag_col: str, sep: str, out_name: str) -> DataFrame:
+    return (df.groupBy(*keys)
+            .agg(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(order_col, frag_col))),
+                    lambda s: s[frag_col]),
+                sep).alias(out_name)))
+
+
+def page_text(hierarchy: DataFrame) -> DataFrame:
+    """GetUTF8Text (TessAPI.java:483-487): per page, text blocks joined by
+    blank lines in reading order."""
+    blocks = hierarchy.where((F.col("level") == "BLOCK")
+                             & F.col("block_type").isin(*_TEXT_KINDS)
+                             & F.col("text").isNotNull())
+    return _ordered_join(blocks, ["doc_id", "media_ref"], "seq", "text",
+                         "\n\n", "page_text")
+
+
+def hocr(hierarchy: DataFrame) -> DataFrame:
+    """GetHOCRText (TessAPI.java:489-494; tessdata/configs/hocr): hOCR
+    markup with real boxes; page numbers render 1-based (the binding's
+    0-based-in/1-based-out contract)."""
+    words = hierarchy.where((F.col("level") == "WORD")
+                            & F.col("text").isNotNull()).withColumn(
+        "frag",
+        F.format_string(
+            "<span class='ocrx_word' id='word_%d_%d_%d_%d' "
+            "title='bbox %d %d %d %d; x_wconf %d'>%s</span>",
+            "block_id", "para_id", "line_id", "word_id",
+            "left", "top", "right", "bottom",
+            F.round("confidence").cast("int"), "text"))
+    lines = _ordered_join(
+        words, ["doc_id", "media_ref", "block_id", "para_id", "line_id"],
+        "seq", "frag", " ", "line_html")
+    lines = lines.withColumn(
+        "line_frag", F.format_string("<span class='ocr_line'>%s</span>",
+                                     "line_html")).withColumn(
+        "order_key",
+        F.col("block_id") * 1_000_000 + F.col("para_id") * 10_000
+        + F.col("line_id"))
+    pages = _ordered_join(lines, ["doc_id", "media_ref"], "order_key",
+                          "line_frag", "\n", "body")
+    return pages.select(
+        "doc_id", "media_ref",
+        F.format_string("<div class='ocr_page' title='image %s; ppageno 1'>\n%s\n</div>",
+                        "media_ref", "body").alias("hocr"))
+
+
+def box_text(hierarchy: DataFrame) -> DataFrame:
+    """GetBoxText trainer format (TessAPI.java:496-503): one line per
+    SYMBOL, full-image coordinates."""
+    syms = hierarchy.where((F.col("level") == "SYMBOL")
+                           & F.col("text").isNotNull()).withColumn(
+        "frag", F.format_string("%s %d %d %d %d 0", "text", "left", "top",
+                                "right", "bottom"))
+    return _ordered_join(syms, ["doc_id", "media_ref"], "seq", "frag",
+                         "\n", "box_text")
+
+
+def mean_text_conf(hierarchy: DataFrame) -> DataFrame:
+    """MeanTextConf (TessAPI.java:514-517): int mean word confidence."""
+    words = hierarchy.where((F.col("level") == "WORD")
+                            & F.col("confidence").isNotNull())
+    return (words.groupBy("doc_id", "media_ref")
+            .agg(F.floor(F.avg("confidence")).cast("int").alias("mean_conf")))
+
+
+def all_word_confidences(hierarchy: DataFrame) -> DataFrame:
+    """AllWordConfidences (TessAPI.java:519-525): ordered per-word
+    confidence array per page."""
+    words = hierarchy.where((F.col("level") == "WORD")
+                            & F.col("confidence").isNotNull())
+    return (words.groupBy("doc_id", "media_ref")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("seq", "confidence"))),
+                lambda s: F.round(s["confidence"]).cast("int"))
+                .alias("word_confs")))
+
+
+def merge_pages(documents: DataFrame, media: DataFrame) -> DataFrame:
+    """TIFF-merge analog (ImageIOHelper.mergeTiff:336-371): reassemble a
+    document's page payloads, in span order, into one multi-page record.
+    The inverse of the multi-page split (createTiffFiles:74-123)."""
+    pages = (documents
+             .select("doc_id", F.explode("spans").alias("s"))
+             .where(F.col("s.kind") == "image")
+             .select("doc_id", F.col("s.offset").alias("offset"),
+                     F.col("s.media_ref").alias("media_ref"))
+             .join(media, "media_ref"))
+    return (pages.groupBy("doc_id")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct("offset", "media_ref", "width", "height",
+                             "payload"))),
+                lambda s: F.struct(s["media_ref"].alias("media_ref"),
+                                   s["width"].alias("width"),
+                                   s["height"].alias("height"),
+                                   s["payload"].alias("payload")))
+                .alias("pages"))
+            .withColumn("n_pages", F.size("pages")))

@@ -1,0 +1,103 @@
+"""Cursor traversal semantics as window functions over the hierarchy
+DataFrame — the distributed form of LayoutIterator's next /
+isAtBeginningOf / isAtFinalElement (SURVEY 2.A I2-I4).
+
+The hierarchy rows carry the id-vector (block_id, para_id, line_id,
+word_id, sym_id) and the dense pre-order `seq`; every cursor predicate
+becomes a lag/max window over that encoding, per (doc_id, media_ref)
+page. Parity with the single-process cursor is tested directly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+LEVELS = ("BLOCK", "PARA", "TEXTLINE", "WORD", "SYMBOL")
+_ID_COLS = {"BLOCK": ["block_id"],
+            "PARA": ["block_id", "para_id"],
+            "TEXTLINE": ["block_id", "para_id", "line_id"],
+            "WORD": ["block_id", "para_id", "line_id", "word_id"],
+            "SYMBOL": ["block_id", "para_id", "line_id", "word_id", "sym_id"]}
+
+_PAGE = ["doc_id", "media_ref"]
+
+
+def level_rows(hierarchy: DataFrame, level: str) -> DataFrame:
+    """All nodes of one level, reading-ordered by seq — the materialized
+    sweep next(level) performs (non-text blocks included once per level
+    except SYMBOL, which skips them: LayoutIterator.java:176-183; the
+    extract stage enforces that shape, so a plain filter suffices)."""
+    return hierarchy.where(F.col("level") == level)
+
+
+def with_level_seq(hierarchy: DataFrame, level: str) -> DataFrame:
+    """Dense per-page rank among nodes of `level` (cursor step counter)."""
+    w = Window.partitionBy(*_PAGE).orderBy("seq")
+    return (level_rows(hierarchy, level)
+            .withColumn("level_seq",
+                        (F.row_number().over(w) - 1).cast("int")))
+
+
+def is_at_beginning_of(hierarchy: DataFrame, level: str,
+                       element: str = "SYMBOL") -> DataFrame:
+    """For each `element` node: is it the first leaf of its enclosing
+    `level` element? (LayoutIterator.isAtBeginningOf worked example,
+    :194-215). Implemented as lag over the enclosing id-prefix."""
+    rows = level_rows(hierarchy, element)
+    w = Window.partitionBy(*_PAGE).orderBy("seq")
+    prefix = F.struct(*[F.col(c) for c in _ID_COLS[level]])
+    prev = F.lag(prefix).over(w)
+    return rows.withColumn(
+        "is_at_beginning",
+        prev.isNull() | (prev != prefix))
+
+
+def is_at_final_element(hierarchy: DataFrame, level: str,
+                        element: str) -> DataFrame:
+    """For each `element` node: is it the last of its kind within its
+    enclosing `level` element? ("bizarre." example, LayoutIterator.java:
+    220-251). max(element-rank) over the enclosing partition."""
+    rows = level_rows(hierarchy, element)
+    encl = Window.partitionBy(
+        *_PAGE, *[F.col(c) for c in _ID_COLS[level]])
+    elem_key = _ID_COLS[element][-1]
+    return rows.withColumn(
+        "is_final",
+        F.col(elem_key) == F.max(elem_key).over(encl))
+
+
+def level_text(hierarchy: DataFrame, level: str) -> DataFrame:
+    """getText at any level without re-running recognition: roll WORD text
+    up by the id-prefix (R1 level-rollup mapping)."""
+    words = (hierarchy
+             .where((F.col("level") == "WORD") & F.col("text").isNotNull()))
+    keys = _PAGE + _ID_COLS[level]
+    line_key = _PAGE + _ID_COLS["TEXTLINE"]
+    lines = (words.groupBy(*line_key)
+             .agg(F.min("seq").alias("seq"),
+                  F.array_join(
+                      F.transform(
+                          F.array_sort(F.collect_list(F.struct("seq", "text"))),
+                          lambda s: s["text"]),
+                      " ").alias("line_text")))
+    if level == "TEXTLINE":
+        return lines.withColumnRenamed("line_text", "text")
+    sep = "\n"
+    return (lines.groupBy(*keys)
+            .agg(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seq", "line_text"))),
+                    lambda s: s["line_text"]),
+                sep).alias("text")))
+
+
+def level_confidence(hierarchy: DataFrame, level: str) -> DataFrame:
+    """getConfidence at any level: mean of WORD confidences under the
+    id-prefix (R2; word level carries the classifier scores)."""
+    words = hierarchy.where((F.col("level") == "WORD")
+                            & F.col("confidence").isNotNull())
+    keys = _PAGE + _ID_COLS[level]
+    return (words.groupBy(*keys)
+            .agg(F.avg("confidence").cast("float").alias("confidence"),
+                 F.count("*").cast("int").alias("n_words")))

@@ -65,15 +65,27 @@ def recognize_blocks(blocks: list[Node], whitelist: str | None = None) -> None:
             s.text = chars[int(i)]
             s.confidence = float(np.float32(cf))
 
+    def word_confs(n: Node) -> list[float]:
+        if n.level == "WORD":
+            return [n.confidence] if n.confidence is not None else []
+        return [c for ch in n.children for c in word_confs(ch)]
+
     def rollup(n: Node) -> None:
         for c in n.children:
             rollup(c)
         if n.level == "SYMBOL" or not n.block_type in TEXT_KINDS:
             return
         parts = [c.text for c in n.children if c.text is not None]
-        confs = [c.confidence for c in n.children if c.confidence is not None]
         sep = {"WORD": "", "TEXTLINE": " ", "PARA": "\n", "BLOCK": "\n"}[n.level]
         n.text = sep.join(parts) if parts else None
+        if n.level == "WORD":
+            confs = [c.confidence for c in n.children
+                     if c.confidence is not None]
+        else:
+            # confidence at any higher level = mean over contained WORDs
+            # (getConfidence contract: mean *word* confidence,
+            # RecognitionResultsIterator.java:80-89)
+            confs = word_confs(n)
         n.confidence = float(np.float32(np.mean(confs))) if confs else None
 
     for b in blocks:

@@ -52,4 +52,36 @@ def get_spark(master: str | None = None, app_name: str = "dia-engine",
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
-    return b.getOrCreate()
+    spark = b.getOrCreate()
+    _ship_package(spark)
+    return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executors regardless of the
+    driver's cwd — the programmatic equivalent of
+    `spark-submit --py-files pkg.zip` (BASELINE.json north_star deploy
+    mode). Zips once per process, cached."""
+    global _PKG_ZIP
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    if _PKG_ZIP is None:
+        import tempfile
+        import zipfile
+        fd, path = tempfile.mkstemp(prefix="dia_pkg_", suffix=".zip")
+        os.close(fd)
+        base = os.path.basename(pkg_dir)
+        with zipfile.ZipFile(path, "w") as z:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.join(base, os.path.relpath(full, pkg_dir))
+                        z.write(full, rel)
+        _PKG_ZIP = path
+    try:
+        spark.sparkContext.addPyFile(_PKG_ZIP)
+    except Exception:
+        pass   # already added on this context
+
+
+_PKG_ZIP: str | None = None

@@ -1,0 +1,124 @@
+"""Checkpointed, resumable extraction runs: per-bucket manifests with
+lineage + metrics (BASELINE.json north_rule: "resumable from checkpoint
+with per-partition lineage + metrics").
+
+Layout (Iceberg-style data/manifests split; plain parquet + JSON because
+the sandbox ships no Iceberg runtime — the table API below is the seam
+where an Iceberg catalog would slot in):
+
+    <root>/data/bucket=<k>/*.parquet      span rows of doc-bucket k
+    <root>/manifests/bucket-<k>.json      {bucket, status, n_docs, n_spans,
+                                           wall_ms, attempt, lineage_id}
+
+Buckets are `pmod(xxhash64(doc_id), n_buckets)` — stable under any
+cluster size, so a resume after failure processes exactly the missing
+buckets (anti-join of bucket ids against DONE manifests). Content is a
+pure function of doc_id (deterministic kernels, SURVEY 4.3), so resumed
+output is bit-identical to a single run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def bucket_of(doc_id_col, n_buckets: int):
+    return F.pmod(F.xxhash64(doc_id_col), F.lit(n_buckets)).cast("int")
+
+
+def _manifest_path(root: str, bucket: int) -> str:
+    return os.path.join(root, "manifests", f"bucket-{bucket}.json")
+
+
+def done_buckets(root: str) -> set[int]:
+    mdir = os.path.join(root, "manifests")
+    if not os.path.isdir(mdir):
+        return set()
+    out = set()
+    for name in os.listdir(mdir):
+        if not name.endswith(".json"):
+            continue
+        with open(os.path.join(mdir, name)) as f:
+            m = json.load(f)
+        if m.get("status") == "DONE":
+            out.add(int(m["bucket"]))
+    return out
+
+
+def run_checkpointed(spark: SparkSession, documents: DataFrame,
+                     media: DataFrame, root: str, n_buckets: int = 16,
+                     fail_buckets: set[int] | None = None) -> dict:
+    """Run span extraction bucket-by-bucket with manifests; skips buckets
+    already DONE (resume). `fail_buckets` injects failures for tests.
+
+    Returns a summary dict {processed, skipped, failed}.
+    """
+    from ..operators.extract import extract_spans
+
+    os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
+    docs_b = documents.withColumn("bucket", bucket_of(F.col("doc_id"), n_buckets))
+    docs_b.cache()
+    already = done_buckets(root)
+    summary = {"processed": [], "skipped": sorted(already), "failed": []}
+    lineage_id = uuid.uuid4().hex
+    for b in range(n_buckets):
+        if b in already:
+            continue
+        attempt = 1
+        prev = _manifest_path(root, b)
+        if os.path.exists(prev):
+            with open(prev) as f:
+                attempt = int(json.load(f).get("attempt", 0)) + 1
+        t0 = time.time()
+        try:
+            if fail_buckets and b in fail_buckets:
+                raise RuntimeError(f"injected failure in bucket {b}")
+            part = docs_b.where(F.col("bucket") == b).drop("bucket")
+            n_docs = part.count()
+            out = extract_spans(part, media)
+            out_path = os.path.join(root, "data", f"bucket={b}")
+            out.write.mode("overwrite").parquet(out_path)
+            n_spans = spark.read.parquet(out_path).count()
+            manifest = {
+                "bucket": b, "status": "DONE", "n_docs": n_docs,
+                "n_spans": n_spans,
+                "wall_ms": int((time.time() - t0) * 1000),
+                "attempt": attempt, "lineage_id": lineage_id,
+                "written_at": int(time.time()),
+            }
+            summary["processed"].append(b)
+        except Exception as e:   # noqa: BLE001 — manifest must record any failure
+            manifest = {
+                "bucket": b, "status": "FAILED", "error": str(e)[:500],
+                "wall_ms": int((time.time() - t0) * 1000),
+                "attempt": attempt, "lineage_id": lineage_id,
+                "written_at": int(time.time()),
+            }
+            summary["failed"].append(b)
+        tmp = _manifest_path(root, b) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, _manifest_path(root, b))   # atomic commit
+    docs_b.unpersist()
+    return summary
+
+
+def read_output(spark: SparkSession, root: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(root, "data"))
+
+
+def metrics(root: str) -> list[dict]:
+    """All manifests (the per-partition metrics surface)."""
+    mdir = os.path.join(root, "manifests")
+    out = []
+    for name in sorted(os.listdir(mdir)) if os.path.isdir(mdir) else []:
+        if name.endswith(".json"):
+            with open(os.path.join(mdir, name)) as f:
+                out.append(json.load(f))
+    return out

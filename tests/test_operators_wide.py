@@ -1,0 +1,282 @@
+"""Tests for the widened operator surface: sinks, cursor-window parity,
+dedup/similarity APIs, multimodal plumbing, checkpoint resume."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from org_dharts_dia_tesseract_spark import datagen
+from org_dharts_dia_tesseract_spark.operators import analyze_documents
+from org_dharts_dia_tesseract_spark.operators import dedup as D
+from org_dharts_dia_tesseract_spark.operators import multimodal as M
+from org_dharts_dia_tesseract_spark.operators import similarity as S
+from org_dharts_dia_tesseract_spark.operators import sinks as K
+from org_dharts_dia_tesseract_spark.operators import windows as W
+from org_dharts_dia_tesseract_spark.oracle import analyze_page
+from org_dharts_dia_tesseract_spark.oracle.iterator import RecognitionCursor
+from org_dharts_dia_tesseract_spark.sources import corpus_tables
+
+N_DOCS = 20
+
+
+@pytest.fixture(scope="module")
+def hier(spark):
+    docs_df, media_df = corpus_tables(spark, N_DOCS)
+    h = analyze_documents(docs_df, media_df).cache()
+    h.count()
+    return h
+
+
+@pytest.fixture(scope="module")
+def corpus_small(spark):
+    d, m = corpus_tables(spark, N_DOCS)
+    return d.cache(), m.cache()
+
+
+# -- sinks ----------------------------------------------------------------
+
+def test_page_text_matches_oracle(hier):
+    got = {r["media_ref"]: r["page_text"]
+           for r in K.page_text(hier).collect()}
+    _, media = datagen.make_corpus(N_DOCS)
+    from org_dharts_dia_tesseract_spark.oracle.page import decode_payload
+    checked = 0
+    for m in media[:15]:
+        img = decode_payload(m["payload"], m["width"], m["height"], m["bands"])
+        exp = analyze_page(img).page_text()
+        if exp:
+            assert got[m["media_ref"]] == exp
+            checked += 1
+    assert checked > 0
+
+
+def test_mean_conf_and_word_confs(hier):
+    mc = K.mean_text_conf(hier).collect()
+    assert len(mc) > 0
+    assert all(0 <= r["mean_conf"] <= 100 for r in mc)
+    wc = K.all_word_confidences(hier).limit(5).collect()
+    for r in wc:
+        assert all(0 <= c <= 100 for c in r["word_confs"])
+
+
+def test_hocr_structure(hier):
+    row = K.hocr(hier).first()
+    h = row["hocr"]
+    assert h.startswith("<div class='ocr_page'")
+    assert "ocrx_word" in h and "bbox" in h and "x_wconf" in h
+
+
+def test_box_text_format(hier):
+    row = K.box_text(hier).first()
+    line = row["box_text"].split("\n")[0]
+    parts = line.split(" ")
+    assert len(parts) == 6 and parts[5] == "0"
+    int(parts[1]); int(parts[2]); int(parts[3]); int(parts[4])
+
+
+def test_merge_pages_roundtrip(spark, corpus_small):
+    docs_df, media_df = corpus_small
+    merged = K.merge_pages(docs_df, media_df)
+    row = merged.orderBy("doc_id").first()
+    assert row["n_pages"] == len(row["pages"])
+    refs = [p["media_ref"] for p in row["pages"]]
+    assert refs == sorted(refs, key=lambda r: int(r.rsplit("-", 1)[1]))
+
+
+# -- cursor-window parity -------------------------------------------------
+
+def _fixture_hier(spark, name):
+    """Hierarchy DF for a single named fixture page."""
+    img = datagen.fixture_page(name)
+    res = analyze_page(img)
+    rows = res.rows()
+    pdf = pd.DataFrame(rows)
+    for c in ("baseline_x1", "baseline_y1", "baseline_x2", "baseline_y2"):
+        pdf[c] = pdf[c].astype("Int32")
+    pdf.insert(0, "doc_id", "fix")
+    pdf.insert(1, "media_ref", name)
+    pdf.insert(2, "offset", 0)
+    from org_dharts_dia_tesseract_spark.operators.extract import \
+        HIERARCHY_SCHEMA
+    return spark.createDataFrame(pdf[[f.name for f in HIERARCHY_SCHEMA]],
+                                 HIERARCHY_SCHEMA), res
+
+
+def test_window_beginning_parity_with_cursor(spark):
+    df, res = _fixture_hier(spark, "simple_poetry")
+    out = (W.is_at_beginning_of(df, "TEXTLINE", element="SYMBOL")
+           .orderBy("seq").collect())
+    cur = RecognitionCursor(res.blocks)
+    flags = [cur.is_at_beginning_of("TEXTLINE")]
+    while cur.next("SYMBOL"):
+        flags.append(cur.is_at_beginning_of("TEXTLINE"))
+    assert [r["is_at_beginning"] for r in out] == flags
+
+
+def test_window_final_parity_with_cursor(spark):
+    df, res = _fixture_hier(spark, "simple_poetry")
+    out = (W.is_at_final_element(df, "PARA", "WORD").orderBy("seq").collect())
+    cur = RecognitionCursor(res.blocks)
+    flags, texts = [], []
+    while True:
+        flags.append(cur.is_at_final_element("PARA", "WORD"))
+        texts.append(cur.get_text("WORD"))
+        if not cur.next("WORD"):
+            break
+    assert [r["is_final"] for r in out] == flags
+    assert [r["text"] for r in out] == texts
+
+
+def test_level_text_and_confidence_rollups(spark):
+    df, res = _fixture_hier(spark, "simple_poetry")
+    bt = {r["block_id"]: r["text"]
+          for r in W.level_text(df, "BLOCK").collect()}
+    for i, blk in enumerate(res.blocks):
+        assert bt[i] == blk.text
+    bc = {r["block_id"]: r["confidence"]
+          for r in W.level_confidence(df, "BLOCK").collect()}
+    for i, blk in enumerate(res.blocks):
+        assert abs(bc[i] - blk.confidence) < 0.01
+
+
+def test_level_seq_dense(spark):
+    df, _ = _fixture_hier(spark, "two_column")
+    rows = W.with_level_seq(df, "BLOCK").orderBy("level_seq").collect()
+    assert [r["level_seq"] for r in rows] == list(range(len(rows)))
+
+
+# -- dedup / similarity APIs ---------------------------------------------
+
+def test_exact_dedup_api(spark):
+    df = spark.createDataFrame(
+        [("a", "same text"), ("b", "same text"), ("c", "other")],
+        "doc_id string, text string")
+    out = D.exact_dedup(df).orderBy("doc_id").collect()
+    assert [(r["doc_id"], r["n_copies"]) for r in out] == [("a", 2), ("c", 1)]
+
+
+def test_minhash_dedup_api(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base.replace("lazy", "sleepy")
+    far = "completely different words in this unrelated document here"
+    df = spark.createDataFrame(
+        [("a", base), ("b", base), ("c", near), ("d", far)],
+        "doc_id string, text string")
+    cand = D.minhash_lsh_candidates(df, n_hashes=8, bands=4)
+    pairs = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    assert ("a", "b") in pairs
+    assert not any("d" in p for p in pairs)
+    kept = {r["doc_id"] for r in D.minhash_dedup(df).select("doc_id").collect()}
+    assert "a" in kept and "b" not in kept and "d" in kept
+
+
+def test_simhash_near_dup(spark):
+    df = spark.createDataFrame(
+        [("a", "alpha beta gamma delta"), ("b", "alpha beta gamma delta"),
+         ("c", "zeta eta theta iota")],
+        "doc_id string, text string")
+    out = {r["doc_id"]: r["simhash"] for r in D.simhash(df).collect()}
+    assert out["a"] == out["b"]
+    assert out["a"] != out["c"]
+    assert 0 <= out["a"] < 2 ** 32
+
+
+def test_jaccard_pairs_api(spark):
+    df = spark.createDataFrame(
+        [("a", "one two three four five"), ("b", "one two three four six"),
+         ("c", "seven eight nine ten")],
+        "doc_id string, text string")
+    out = D.jaccard_pairs(df, threshold=0.5).collect()
+    assert [(r["id_a"], r["id_b"]) for r in out] == [("a", "b")]
+    assert abs(out[0]["jaccard"] - 4 / 6) < 1e-3
+
+
+def test_similarity_brute_vs_lsh(spark):
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(40, 16)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    qs = (emb.where(F.col("vec_id") < 2)
+          .select(F.col("vec_id").alias("q_id"),
+                  F.col("embedding").alias("q_emb")))
+    bf = S.brute_force_topk(emb, qs, k=3)
+    got = {(r["q_id"], r["rk"]): r["vec_id"] for r in bf.collect()}
+    # numpy oracle
+    import numpy.linalg as la
+    for q in range(2):
+        sims = vecs @ vecs[q] / (la.norm(vecs, axis=1) * la.norm(vecs[q]))
+        order = [i for i in np.argsort(-sims) if i != q][:3]
+        assert [got[(q, rk)] for rk in (1, 2, 3)] == order
+    # LSH variant returns a subset ranked consistently
+    lsh = S.lsh_topk(emb, qs, k=3, n_planes=4, dim=16)
+    for r in lsh.collect():
+        assert r["vec_id"] != r["q_id"]
+
+
+# -- multimodal -----------------------------------------------------------
+
+def test_multimodal_features(spark, corpus_small):
+    _, media_df = corpus_small
+    feats = M.extract_features(media_df).collect()
+    assert len(feats) == media_df.count()
+    for r in feats[:10]:
+        assert 0.0 < r["ink_ratio"] < 1.0
+        assert r["n_components"] > 0
+        assert r["dpi"] in (72, 96, 300)
+
+
+def test_multimodal_resize(spark, corpus_small):
+    _, media_df = corpus_small
+    out = M.resize(media_df.limit(3), 20, 10).collect()
+    for r in out:
+        assert r["width"] == 20 and r["height"] == 10
+        assert len(r["payload"]) == 20 * 10 * r["bands"]
+
+
+def test_multimodal_codec_stub():
+    with pytest.raises(NotImplementedError):
+        M.decode(b"xx", 1, 1, 1, codec="jpeg")
+    with pytest.raises(ValueError):
+        M.decode(b"xx", 1, 1, 1, codec="pdf")   # PDF rejected, not stubbed
+
+
+def test_frame_sample(spark, corpus_small):
+    docs_df, media_df = corpus_small
+    kept = M.frame_sample(docs_df, media_df, every_k=2)
+    per_doc = (kept.groupBy("doc_id").count().collect())
+    total = (docs_df.select(F.explode("spans").alias("s"))
+             .where(F.col("s.kind") == "image").count())
+    kept_n = sum(r["count"] for r in per_doc)
+    assert 0 < kept_n <= total
+
+
+# -- checkpoint / resume --------------------------------------------------
+
+def test_checkpoint_resume_after_failure(spark, corpus_small, tmp_path):
+    from org_dharts_dia_tesseract_spark.sources import checkpoint as C
+    docs_df, media_df = corpus_small
+    root = str(tmp_path / "ckpt")
+    s1 = C.run_checkpointed(spark, docs_df, media_df, root, n_buckets=4,
+                            fail_buckets={2})
+    assert s1["failed"] == [2]
+    ms = {m["bucket"]: m for m in C.metrics(root)}
+    assert ms[2]["status"] == "FAILED" and ms[2]["attempt"] == 1
+    assert all(ms[b]["status"] == "DONE" for b in s1["processed"])
+    # resume: only the failed bucket runs; attempt increments
+    s2 = C.run_checkpointed(spark, docs_df, media_df, root, n_buckets=4)
+    assert s2["processed"] == [2] and s2["failed"] == []
+    assert sorted(s2["skipped"]) == sorted(s1["processed"])
+    ms = {m["bucket"]: m for m in C.metrics(root)}
+    assert ms[2]["status"] == "DONE" and ms[2]["attempt"] == 2
+    # resumed output equals a straight single run (bit-identical lineage)
+    from org_dharts_dia_tesseract_spark.operators import extract_spans
+    direct = (extract_spans(docs_df, media_df).toPandas()
+              .sort_values(["doc_id", "seq"]).reset_index(drop=True))
+    resumed = (C.read_output(spark, root)
+               .select("doc_id", "seq", "kind", "text", "media_ref")
+               .toPandas().sort_values(["doc_id", "seq"])
+               .reset_index(drop=True))
+    pd.testing.assert_frame_equal(direct, resumed)
