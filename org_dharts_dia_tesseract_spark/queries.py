@@ -757,3 +757,192 @@ def similarity_topk_cosine(spark, sf_dir):
     return (scored.withColumn("rk", F.row_number().over(w).cast("int"))
             .where(F.col("rk") <= 5)
             .select("q_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rk"))
+
+
+# ==========================================================================
+# H. relational coverage, round 2: semi/anti joins, rollup, percentiles,
+#    pivot, set ops, range join, min_by/ntile (SURVEY 2.C categories)
+# ==========================================================================
+
+@q("anti_join_idle_customers", """
+    SELECT c.c_custkey, c.c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""")
+def anti_join_idle_customers(spark, sf_dir):
+    """Left-anti join — the checkpoint-resume primitive (anti-join input
+    buckets against DONE manifests, SURVEY 4.3)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .select("c_custkey", "c_mktsegment"))
+
+
+@q("semi_join_active_parts", """
+    SELECT p.p_partkey, p.p_brand
+    FROM part p
+    WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey
+                  AND l.l_quantity > 45)
+""")
+def semi_join_active_parts(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45)
+    return (p.join(li, p.p_partkey == li.l_partkey, "left_semi")
+            .select("p_partkey", "p_brand"))
+
+
+@q("rollup_orders_by_status", """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""")
+def rollup_orders_by_status(spark, sf_dir):
+    """Hierarchical rollup aggregation (GROUPING SETS family)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (o.rollup("o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+            .select(F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+                    F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+                    "n", "revenue"))
+
+
+@q("price_quantiles_by_segment", """
+    SELECT c_mktsegment,
+           round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c_mktsegment
+""")
+def price_quantiles_by_segment(spark, sf_dir):
+    """Exact interpolated percentiles (both engines: linear interp)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
+                 F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90"),
+                 F.count("*").cast("bigint").alias("n")))
+
+
+@q("events_pivot_counts", """
+    SELECT user_id,
+           CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+           CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+           CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup
+    FROM events
+    GROUP BY user_id
+""")
+def events_pivot_counts(spark, sf_dir):
+    """Pivot (wide counts per type) via groupBy().pivot()."""
+    e = load_table(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "error", "signup"]
+    out = (e.groupBy("user_id").pivot("event_type", types).count().na.fill(0))
+    for t in types:
+        out = out.withColumn(t, F.col(t).cast("bigint"))
+    return out
+
+
+@q("set_ops_buyers_vs_eventusers", """
+    SELECT CAST(u AS BIGINT) AS user_key, 'both' AS membership
+    FROM (SELECT DISTINCT o_custkey AS u FROM orders
+          INTERSECT
+          SELECT DISTINCT user_id AS u FROM events)
+    UNION ALL
+    SELECT CAST(u AS BIGINT) AS user_key, 'orders_only' AS membership
+    FROM (SELECT DISTINCT o_custkey AS u FROM orders
+          EXCEPT
+          SELECT DISTINCT user_id AS u FROM events)
+""")
+def set_ops_buyers_vs_eventusers(spark, sf_dir):
+    """INTERSECT / EXCEPT set algebra (C4 language-set mapping)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("u")).distinct()
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("u")).distinct()
+    both = o.intersect(e).select(F.col("u").cast("bigint").alias("user_key"),
+                                 F.lit("both").alias("membership"))
+    only = o.exceptAll(e).select(F.col("u").cast("bigint").alias("user_key"),
+                                 F.lit("orders_only").alias("membership"))
+    return both.unionAll(only)
+
+
+@q("range_join_error_after_signup", """
+    SELECT s.user_id,
+           CAST(s.event_id AS BIGINT) AS signup_event,
+           CAST(count(er.event_id) AS BIGINT) AS errors_within_hour
+    FROM events s LEFT JOIN events er
+      ON er.user_id = s.user_id AND er.event_type = 'error'
+     AND floor(epoch(er.ts)) > floor(epoch(s.ts))
+     AND floor(epoch(er.ts)) <= floor(epoch(s.ts)) + 3600
+    WHERE s.event_type = 'signup'
+    GROUP BY s.user_id, s.event_id
+""")
+def range_join_error_after_signup(spark, sf_dir):
+    """Band/range join: errors within 1h after each signup (the as-of /
+    range-join family; equi key on user bounds the fan-out)."""
+    e = load_table(spark, sf_dir, "events")
+    s = e.where(F.col("event_type") == "signup").alias("s")
+    er = e.where(F.col("event_type") == "error").alias("er")
+    cond = ((F.col("er.user_id") == F.col("s.user_id"))
+            & (F.unix_timestamp("er.ts") > F.unix_timestamp("s.ts"))
+            & (F.unix_timestamp("er.ts") <= F.unix_timestamp("s.ts") + 3600))
+    return (s.join(er, cond, "left")
+            .groupBy(F.col("s.user_id").alias("user_id"),
+                     F.col("s.event_id").cast("bigint").alias("signup_event"))
+            .agg(F.count("er.event_id").cast("bigint")
+                 .alias("errors_within_hour")))
+
+
+@q("minby_cheapest_part_per_brand", """
+    SELECT p_brand,
+           min_by(p_name, p_retailprice || '|' || p_name) AS cheapest_part,
+           round(min(p_retailprice), 2) AS min_price
+    FROM part
+    GROUP BY p_brand
+""")
+def minby_cheapest_part_per_brand(spark, sf_dir):
+    """min_by/arg-min aggregation (deterministic tie-break via composite
+    key: price||name lexicographic on both engines)."""
+    p = load_table(spark, sf_dir, "part")
+    key = F.concat(F.col("p_retailprice").cast("string"), F.lit("|"),
+                   F.col("p_name"))
+    return (p.groupBy("p_brand")
+            .agg(F.expr("min_by(p_name, p_retailprice || '|' || p_name)")
+                 .alias("cheapest_part"),
+                 F.round(F.min("p_retailprice"), 2).alias("min_price")))
+
+
+@q("ntile_price_quartiles", """
+    SELECT o_orderkey, o_custkey,
+           CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INT)
+             AS quartile
+    FROM orders
+""")
+def ntile_price_quartiles(spark, sf_dir):
+    """ntile window (global sort — single-partition window; at scale this
+    becomes a range-partitioned sort + prefix sums)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return o.select("o_orderkey", "o_custkey",
+                    F.ntile(4).over(w).cast("int").alias("quartile"))
+
+
+@q("distinct_users_per_type", """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY event_type
+""")
+def distinct_users_per_type(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    return (e.groupBy("event_type")
+            .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"),
+                 F.count("*").cast("bigint").alias("n_events")))

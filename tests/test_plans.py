@@ -1,0 +1,82 @@
+"""Plan-shape regression tests: the scale posture of key operators is
+pinned against the physical plan (pushdown, pruning, broadcast, shuffle
+counts, bucketed no-shuffle joins)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from org_dharts_dia_tesseract_spark import plans as P
+from org_dharts_dia_tesseract_spark.operators import extract_spans
+from org_dharts_dia_tesseract_spark.sources import materialize_corpus
+from org_dharts_dia_tesseract_spark.sources.bucketing import (bucketed_join,
+                                                              save_bucketed)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def corpus_paths(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("gen")
+    return materialize_corpus(spark, str(d), 30)
+
+
+def test_extract_pipeline_plan_shape(spark, corpus_paths):
+    """The flagship plan: span side broadcasts (payloads never shuffle);
+    exactly ONE shuffle total (the lean seq window); media scan reads the
+    full payload schema, documents scan only doc_id+spans."""
+    docs = spark.read.parquet(corpus_paths[0])
+    media = spark.read.parquet(corpus_paths[1])
+    df = extract_spans(docs, media)
+    assert P.has_broadcast_hash_join(df)
+    assert P.n_exchanges(df) == 1
+    s = P.explain_str(df)
+    assert "MapInPandas" in s
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    df = li.where(F.col("l_quantity") > 45).select("l_orderkey", "l_quantity")
+    pf = P.pushed_filters(df)
+    assert any("l_quantity" in f and "GreaterThan" in f for f in pf)
+    rs = P.scan_read_schema(df)
+    # column pruning: only the two referenced columns are read
+    assert len(rs) == 1 and "l_orderkey" in rs[0] and "l_quantity" in rs[0]
+    assert "l_extendedprice" not in rs[0]
+
+
+def test_small_dim_join_broadcasts(spark):
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    df = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    assert P.has_broadcast_hash_join(df)
+    assert P.n_exchanges(df) == 0
+
+
+def test_whole_stage_codegen_covers_scalar_ops(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    df = (li.withColumn("disc", F.col("l_extendedprice") * (1 - F.col("l_discount")))
+          .where(F.col("disc") > 1000).select("l_orderkey", "disc"))
+    assert "*(" in P.explain_str(df, "simple")   # codegen stage marker
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path_factory):
+    """Pre-bucketed co-located join: zero Exchange in the plan."""
+    warehouse = tmp_path_factory.mktemp("wh")
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    save_bucketed(o, "orders_b", "o_custkey", 8, str(warehouse / "orders_b"))
+    save_bucketed(c.withColumnRenamed("c_custkey", "o_custkey"),
+                  "customer_b", "o_custkey", 8, str(warehouse / "customer_b"))
+    joined = bucketed_join(spark, "orders_b", "customer_b", "o_custkey")
+    agg = joined.groupBy("o_custkey").count()
+    # join AND the groupBy on the bucket key: both shuffle-free
+    assert P.n_exchanges(joined) == 0
+    assert P.n_exchanges(agg) == 0
+    assert joined.count() > 0
+
+
+def test_aqe_enabled(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
