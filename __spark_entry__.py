@@ -61,13 +61,34 @@ def _ocr_layout_only(spark: SparkSession, sf_dir: str) -> DataFrame:
             .count().withColumnRenamed("count", "n_nodes"))
 
 
+def _ocr_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed pipeline: extract -> quality -> dedup -> keep decision."""
+    from org_dharts_dia_tesseract_spark.operators.pipeline import \
+        training_corpus
+    docs, media = _interleaved_corpus(spark, sf_dir, _PIPELINE_DOC_CAP)
+    return training_corpus(docs, media).drop("text")
+
+
+def _ocr_annotated_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annotated-raster sink (examples/BlockAnalysis.java:99 analog)."""
+    from org_dharts_dia_tesseract_spark.operators import analyze_documents
+    from org_dharts_dia_tesseract_spark.operators.annotate import \
+        annotate_pages
+    docs, media = _interleaved_corpus(spark, sf_dir, 100)
+    h = analyze_documents(docs, media)
+    return annotate_pages(h, media).select("media_ref", "width", "height",
+                                           "n_boxes")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md section 2."""
     from org_dharts_dia_tesseract_spark.queries import spark_queries
     out = dict(spark_queries())
-    out["ocr_extract_spans"] = _ocr_extract_spans     # rows-only (raster)
-    out["ocr_hierarchy"] = _ocr_hierarchy             # rows-only (raster)
-    out["ocr_layout_only"] = _ocr_layout_only         # rows-only (raster)
+    out["ocr_extract_spans"] = _ocr_extract_spans         # rows-only (raster)
+    out["ocr_hierarchy"] = _ocr_hierarchy                 # rows-only (raster)
+    out["ocr_layout_only"] = _ocr_layout_only             # rows-only (raster)
+    out["ocr_training_corpus"] = _ocr_training_corpus     # rows-only (raster)
+    out["ocr_annotated_pages"] = _ocr_annotated_pages     # rows-only (raster)
     return out
 
 
