@@ -76,6 +76,22 @@ HIERARCHY_SCHEMA = T.StructType([
     T.StructField("text", T.StringType(), True),
     T.StructField("confidence", T.FloatType(), True),
     T.StructField("is_virtual", T.BooleanType(), False),
+    # BLOCK rows: orientation (I8)
+    T.StructField("orientation", T.StringType(), True),
+    T.StructField("writing_direction", T.StringType(), True),
+    T.StructField("textline_order", T.StringType(), True),
+    T.StructField("deskew_angle", T.FloatType(), True),
+    # WORD rows: font attributes + word predicates (R3-R5)
+    T.StructField("font_bold", T.BooleanType(), True),
+    T.StructField("font_monospace", T.BooleanType(), True),
+    T.StructField("font_pointsize", T.IntegerType(), True),
+    T.StructField("font_name", T.StringType(), True),
+    T.StructField("is_dictionary_word", T.BooleanType(), True),
+    T.StructField("is_numeric_word", T.BooleanType(), True),
+    # SYMBOL rows: typography flags (R6)
+    T.StructField("is_subscript", T.BooleanType(), True),
+    T.StructField("is_superscript", T.BooleanType(), True),
+    T.StructField("is_dropcap", T.BooleanType(), True),
 ])
 
 
@@ -184,6 +200,11 @@ def analyze_documents(documents: DataFrame, media: DataFrame, *,
                 for c in ("baseline_x1", "baseline_y1",
                           "baseline_x2", "baseline_y2"):
                     f[c] = f[c].astype("Int32")
+                f["font_pointsize"] = f["font_pointsize"].astype("Int32")
+                for c in ("font_bold", "font_monospace", "is_dictionary_word",
+                          "is_numeric_word", "is_subscript", "is_superscript",
+                          "is_dropcap"):
+                    f[c] = f[c].astype("boolean")
                 frames.append(f)
             if frames:
                 cat = pd.concat(frames, ignore_index=True)

@@ -26,6 +26,14 @@ from .segment import (IMAGE_KINDS, TEXT_KINDS, Box, Node, detect_orientation,
 DEFAULT_PPI = 96
 
 
+def dictionary_words() -> set[str]:
+    """The engine's 'language dictionary' (R4 isDictionaryWord): the
+    corpus vocabulary — the analog of the wordlist inside a tessdata
+    language pack. Broadcast-sized; lowercased."""
+    from ..datagen import _VOCAB
+    return {w.lower() for w in _VOCAB}
+
+
 @dataclass
 class PageResult:
     blocks: list[Node]
@@ -41,6 +49,9 @@ class PageResult:
         out: list[dict] = []
 
         def visit(n: Node, ids: dict[str, int]) -> None:
+            orient = getattr(n, "orientation_info", None)
+            font = getattr(n, "font", None)
+            flags = getattr(n, "typo_flags", None)
             row = {
                 "level": n.level,
                 "block_id": ids.get("BLOCK", -1),
@@ -59,6 +70,22 @@ class PageResult:
                 "text": n.text,
                 "confidence": n.confidence,
                 "is_virtual": n.virtual,
+                # BLOCK-level orientation (I8); None elsewhere
+                "orientation": orient["orientation"] if orient else None,
+                "writing_direction": orient["writing_direction"] if orient else None,
+                "textline_order": orient["textline_order"] if orient else None,
+                "deskew_angle": float(orient["deskew_angle"]) if orient else None,
+                # WORD-level font attributes (R3); None elsewhere
+                "font_bold": font["bold"] if font else None,
+                "font_monospace": font["monospace"] if font else None,
+                "font_pointsize": font["pointsize"] if font else None,
+                "font_name": font["font_name"] if font else None,
+                "is_dictionary_word": getattr(n, "is_dict", None),
+                "is_numeric_word": getattr(n, "is_num", None),
+                # SYMBOL-level typography flags (R6); None elsewhere
+                "is_subscript": flags["is_subscript"] if flags else None,
+                "is_superscript": flags["is_superscript"] if flags else None,
+                "is_dropcap": flags["is_dropcap"] if flags else None,
             }
             out.append(row)
             for i, c in enumerate(n.children):
@@ -126,15 +153,23 @@ def analyze_page(img: np.ndarray, psm: str = "AUTO", roi: Box | None = None,
     ink = otsu_binarize(img)
     blocks = segment(ink, psm=psm, roi=roi)
     if recognize:
+        from .recognize import is_numeric, typography_flags
         recognize_blocks(blocks, whitelist=whitelist)
+        wordlist = dictionary_words()
         for blk in blocks:
             if blk.block_type not in TEXT_KINDS:
                 continue
             for para in blk.children:
                 for line in para.children:
                     lh = line.box[3] - line.box[1]
+                    base_y = line.baseline[1] if line.baseline else line.box[3]
                     for w in line.children:
                         w.font = font_attributes(w, lh, ppi)  # type: ignore[attr-defined]
+                        w.is_dict = bool(w.text and w.text.lower() in wordlist)  # type: ignore[attr-defined]
+                        w.is_num = is_numeric(w.text)  # type: ignore[attr-defined]
+                        for sym in w.children:
+                            sym.typo_flags = typography_flags(  # type: ignore[attr-defined]
+                                sym, line.box, base_y)
     for blk in blocks:
         blk.orientation_info = detect_orientation(ink, blk.box)  # type: ignore[attr-defined]
     h, w = ink.shape

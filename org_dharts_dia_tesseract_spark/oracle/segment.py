@@ -75,13 +75,8 @@ def _blank_runs(profile: np.ndarray) -> list[tuple[int, int]]:
     nz = np.flatnonzero(profile)
     if len(nz) == 0:
         return []
-    runs = []
-    prev = nz[0]
-    for v in nz[1:]:
-        if v > prev + 1:
-            runs.append((int(prev + 1), int(v)))
-        prev = v
-    return runs
+    gaps = np.flatnonzero(np.diff(nz) > 1)
+    return [(int(nz[g] + 1), int(nz[g + 1])) for g in gaps]
 
 
 def _trim(ink: np.ndarray, box: Box) -> Box | None:
@@ -170,11 +165,17 @@ def _build_text_block(ink: np.ndarray, box: Box) -> Node:
     for pbox in _split_axis(ink, box, 0, PARA_GAP_MIN):
         para = Node("PARA", pbox, FLOWING_TEXT)
         for lbox in _split_axis(ink, pbox, 0, 1):
-            line = Node("TEXTLINE", lbox, FLOWING_TEXT,
-                        baseline=fit_baseline(ink, lbox))
+            lb = fit_baseline(ink, lbox)
+            line = Node("TEXTLINE", lbox, FLOWING_TEXT, baseline=lb)
+            # words share their line's baseline fit, interpolated at the
+            # word's extent (Tesseract's baseline is a per-line property)
+            lx1, ly1, lx2, ly2 = lb
+            slope = (ly2 - ly1) / max(lx2 - lx1, 1)
             for wbox in _split_axis(ink, lbox, 1, WORD_GAP_MIN):
-                word = Node("WORD", wbox, FLOWING_TEXT,
-                            baseline=fit_baseline(ink, wbox))
+                wl, _, wr, _ = wbox
+                wb = (wl, int(round(ly1 + slope * (wl - lx1))),
+                      wr, int(round(ly1 + slope * (wr - lx1))))
+                word = Node("WORD", wbox, FLOWING_TEXT, baseline=wb)
                 for sbox in _split_axis(ink, wbox, 1, 1):
                     sl, st, sr, sb = sbox
                     word.children.append(

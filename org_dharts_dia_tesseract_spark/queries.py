@@ -946,3 +946,83 @@ def distinct_users_per_type(spark, sf_dir):
     return (e.groupBy("event_type")
             .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"),
                  F.count("*").cast("bigint").alias("n_events")))
+
+
+# ==========================================================================
+# I. as-of join + embedding near-dup (custom operators, parity-gated)
+# ==========================================================================
+
+@q("asof_join_last_click", """
+    SELECT p.event_id, p.user_id,
+           (SELECT c.value FROM events c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click'
+              AND c.ts <= p.ts
+            ORDER BY c.ts DESC LIMIT 1) AS value_asof
+    FROM events p
+    WHERE p.event_type = 'purchase'
+""")
+def asof_join_last_click(spark, sf_dir):
+    """As-of join: each purchase enriched with the user's latest prior (or
+    simultaneous) click value. Spark side uses the union+window
+    implementation (operators/relational.py) — one shuffle, no range
+    fan-out; the DuckDB oracle is the correlated-subquery definition."""
+    from .operators.relational import asof_join
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts")
+    clicks = e.where(F.col("event_type") == "click") \
+        .select("user_id", "ts", "value")
+    out = asof_join(purchases, clicks, on="ts", key="user_id",
+                    right_value_cols=["value"], suffix="_asof")
+    return out.select("event_id", "user_id", "value_asof")
+
+
+def _sig_sql(col: str, n_planes: int = 4, dim: int = 64) -> str:
+    """DuckDB SQL for the deterministic hyperplane signature (must equal
+    operators/similarity.hyperplane_signature bit for bit)."""
+    bits = []
+    for p in range(n_planes):
+        terms = " + ".join(
+            f"CAST({col}[{d + 1}] AS DOUBLE) * "
+            f"(CASE WHEN CAST('0x' || substr(md5('{p}:{d}'), 1, 8) AS BIGINT) % 2 = 0 "
+            f"THEN 1.0 ELSE -1.0 END)"
+            for d in range(dim))
+        bits.append(f"(CASE WHEN ({terms}) >= 0 THEN '1' ELSE '0' END)")
+    return " || ".join(bits)
+
+
+@q("embedding_near_dup_pairs", f"""
+    WITH sig AS (
+        SELECT vec_id, embedding, {_sig_sql('embedding')} AS sig
+        FROM embeddings),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_sum(list_transform(range(1, 65),
+                   i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(a.embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(b.embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+               AS cosine
+        FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id)
+    SELECT id_a, id_b, round(cosine, 4) AS cosine
+    FROM pairs WHERE cosine >= 0.5
+""")
+def embedding_near_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup: candidate pairs inside one hyperplane-LSH
+    bucket, kept when cosine >= threshold (the embedding leg of the dedup
+    family; bucket join bounds the pair count at scale)."""
+    from .operators.similarity import cosine as cos_expr
+    from .operators.similarity import hyperplane_signature
+    emb = load_table(spark, sf_dir, "embeddings")
+    sig = emb.select("vec_id", "embedding",
+                     hyperplane_signature("embedding", 4, 64).alias("sig"))
+    a, b = sig.alias("a"), sig.alias("b")
+    pairs = (a.join(b, (F.col("a.sig") == F.col("b.sig"))
+                    & (F.col("a.vec_id") < F.col("b.vec_id")))
+             .select(F.col("a.vec_id").alias("id_a"),
+                     F.col("b.vec_id").alias("id_b"),
+                     cos_expr(F.col("a.embedding"), F.col("b.embedding"))
+                     .alias("cosine")))
+    return (pairs.where(F.col("cosine") >= 0.5)
+            .select("id_a", "id_b", F.round("cosine", 4).alias("cosine")))

@@ -280,3 +280,24 @@ def test_checkpoint_resume_after_failure(spark, corpus_small, tmp_path):
                .toPandas().sort_values(["doc_id", "seq"])
                .reset_index(drop=True))
     pd.testing.assert_frame_equal(direct, resumed)
+
+
+# -- hierarchy enrichment (I8/R3-R6 distributed) --------------------------
+
+def test_hierarchy_enrichment_columns(hier):
+    blocks = hier.where(F.col("level") == "BLOCK")
+    assert blocks.where(F.col("orientation").isNull()).count() == 0
+    assert {r["orientation"] for r in
+            blocks.select("orientation").distinct().collect()} <= {"UP", "RIGHT"}
+    words = hier.where((F.col("level") == "WORD") & ~F.col("is_virtual"))
+    some = words.limit(50).collect()
+    assert all(r["font_name"] == "atlas-5x7" for r in some)
+    assert all(r["font_pointsize"] > 0 for r in some)
+    assert any(r["is_dictionary_word"] for r in some)
+    # virtual words of non-text blocks carry no font/flags
+    virt = hier.where((F.col("level") == "WORD") & F.col("is_virtual"))
+    if virt.count():
+        assert virt.where(F.col("font_name").isNotNull()).count() == 0
+    syms = hier.where(F.col("level") == "SYMBOL").limit(20).collect()
+    for r in syms:
+        assert r["is_subscript"] is not None
