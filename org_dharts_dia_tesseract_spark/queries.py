@@ -1026,3 +1026,277 @@ def embedding_near_dup_pairs(spark, sf_dir):
                      .alias("cosine")))
     return (pairs.where(F.col("cosine") >= 0.5)
             .select("id_a", "id_b", F.round("cosine", 4).alias("cosine")))
+
+# ==========================================================================
+# J. relational coverage, round 3: TPC-H join shapes, CUBE, running /
+#    moving window frames, correlated-avg, JSON, higher-order array fns
+# ==========================================================================
+
+@q("tpch_q3_shipping_priority", """
+    SELECT o.o_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(strftime(o.o_orderdate, '%Y-%m-%d') AS VARCHAR) AS orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-06-30'
+      AND l.l_shipdate > TIMESTAMP '1997-06-30'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY sum(l.l_extendedprice * (1 - l.l_discount)) DESC, o.o_orderkey
+    LIMIT 10
+""")
+def tpch_q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join + agg + deterministic top-10. The
+    customer dim filter is broadcast; lineitem<->orders shuffles on the
+    join key only after both filters prune (pushdown-checked in
+    test_plans)."""
+    c = load_table(spark, sf_dir, "customer") \
+        .where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders") \
+        .where(F.col("o_orderdate") < F.to_timestamp(F.lit("1997-06-30")))
+    li = load_table(spark, sf_dir, "lineitem") \
+        .where(F.col("l_shipdate") > F.to_timestamp(F.lit("1997-06-30")))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.sum(F.col("l_extendedprice")
+                       * (F.lit(1) - F.col("l_discount"))).alias("_rev"))
+            .orderBy(F.col("_rev").desc(), "o_orderkey").limit(10)
+            .select("o_orderkey", F.round("_rev", 2).alias("revenue"),
+                    F.date_format("o_orderdate", "yyyy-MM-dd")
+                    .alias("orderdate"), "o_orderpriority"))
+
+
+@q("tpch_q5_local_supplier_volume", """
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+""")
+def tpch_q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way star join, local customer==supplier nation;
+    all dims broadcast, the two fact tables shuffle once on l_orderkey."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey)
+                  & (c.c_nationkey == s.s_nationkey))
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (F.lit(1) - F.col("l_discount"))), 2)
+                 .alias("revenue")))
+
+
+@q("cube_revenue_nation_status", """
+    SELECT coalesce(n.n_name, 'ALL') AS nation,
+           coalesce(o.o_orderstatus, 'ALL') AS status,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY CUBE (n.n_name, o.o_orderstatus)
+""")
+def cube_revenue_nation_status(spark, sf_dir):
+    """CUBE aggregation (all 4 grouping sets) over a broadcast star join."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .cube("n_name", "o_orderstatus")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+            .select(F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+                    F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+                    "n", "revenue"))
+
+
+@q("running_total_revenue", """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_revenue
+    FROM orders
+""")
+def running_total_revenue(spark, sf_dir):
+    """Cumulative window frame (ROWS UNBOUNDED PRECEDING..CURRENT)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return o.select("o_custkey", "o_orderkey",
+                    F.round(F.sum("o_totalprice").over(w), 2)
+                    .alias("running_revenue"))
+
+
+@q("moving_avg_value_1h", """
+    SELECT event_id, user_id,
+           round(avg(value) OVER (
+               PARTITION BY user_id
+               ORDER BY floor(epoch(ts))
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4)
+             AS avg_1h
+    FROM events
+""")
+def moving_avg_value_1h(spark, sf_dir):
+    """RANGE window frame keyed on epoch seconds: per-user trailing-hour
+    mean (the streaming sliding-window twin, expressed batch)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy(F.unix_timestamp("ts"))
+         .rangeBetween(-3600, 0))
+    return e.select("event_id", "user_id",
+                    F.round(F.avg("value").over(w), 4).alias("avg_1h"))
+
+
+@q("order_gap_days", """
+    SELECT o_custkey, o_orderkey,
+           CAST(datediff('day',
+                lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey),
+                o_orderdate) AS INT) AS gap_days
+    FROM orders
+""")
+def order_gap_days(spark, sf_dir):
+    """lag window: whole-day gap between consecutive orders per customer."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return o.select("o_custkey", "o_orderkey",
+                    F.datediff(F.col("o_orderdate"), prev).cast("int")
+                    .alias("gap_days"))
+
+
+@q("above_nation_avg_balance", """
+    SELECT c.c_custkey, c.c_nationkey, round(c.c_acctbal, 2) AS acctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                         WHERE c2.c_nationkey = c.c_nationkey)
+""")
+def above_nation_avg_balance(spark, sf_dir):
+    """Correlated-scalar-subquery semantics, decorrelated Spark-side into
+    a broadcast agg-join (the plan Catalyst itself produces for the
+    correlated form — 25 nation rows, no per-row subquery)."""
+    c = load_table(spark, sf_dir, "customer")
+    avg_by_nation = (c.groupBy("c_nationkey")
+                     .agg(F.avg("c_acctbal").alias("_nation_avg")))
+    return (c.join(F.broadcast(avg_by_nation), "c_nationkey")
+            .where(F.col("c_acctbal") > F.col("_nation_avg"))
+            .select("c_custkey", "c_nationkey",
+                    F.round("c_acctbal", 2).alias("acctbal")))
+
+
+@q("monthly_revenue_timeseries", """
+    SELECT CAST(strftime(date_trunc('month', o_orderdate), '%Y-%m-%d')
+                AS VARCHAR) AS month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY date_trunc('month', o_orderdate)
+""")
+def monthly_revenue_timeseries(spark, sf_dir):
+    """Calendar-bucketed time-series rollup (date_trunc month)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (o.groupBy(F.date_trunc("month", "o_orderdate").alias("_m"))
+            .agg(F.count("*").cast("bigint").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+            .select(F.date_format("_m", "yyyy-MM-dd").alias("month"),
+                    "n_orders", "revenue"))
+
+
+@q("json_props_extract", """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4)
+             AS avg_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT)
+             AS max_k
+    FROM events
+    GROUP BY event_type
+""")
+def json_props_extract(spark, sf_dir):
+    """Semi-structured JSON column: extract + typed agg (props payload)."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (e.groupBy("event_type")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.round(F.avg(k), 4).alias("avg_k"),
+                 F.max(k).cast("int").alias("max_k")))
+
+
+@q("array_component_stats", """
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+           round(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS sum_sq,
+           round(list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))), 4) AS max_abs
+    FROM embeddings
+""")
+def array_component_stats(spark, sf_dir):
+    """Higher-order array functions (filter/transform/aggregate) over the
+    embedding column — stays fully JVM-side, no UDF."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("int")
+        .alias("n_pos"),
+        F.round(F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x * x), 4)
+        .alias("sum_sq"),
+        F.round(F.array_max(F.transform(dbl, lambda x: F.abs(x))), 4)
+        .alias("max_abs"))
+
+
+@q("percent_rank_prices", """
+    SELECT p_partkey,
+           round(percent_rank() OVER (ORDER BY p_retailprice, p_partkey), 6)
+             AS pr,
+           round(cume_dist() OVER (ORDER BY p_retailprice, p_partkey), 6)
+             AS cd
+    FROM part
+""")
+def percent_rank_prices(spark, sf_dir):
+    """percent_rank / cume_dist global windows (rank-normalized scores —
+    the quality-score calibration primitive)."""
+    p = load_table(spark, sf_dir, "part")
+    w = Window.orderBy("p_retailprice", "p_partkey")
+    return p.select("p_partkey",
+                    F.round(F.percent_rank().over(w), 6).alias("pr"),
+                    F.round(F.cume_dist().over(w), 6).alias("cd"))
+
+
+@q("histogram_price_bins", """
+    SELECT CAST(floor(o_totalprice / 50000) AS INT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders
+    GROUP BY floor(o_totalprice / 50000)
+""")
+def histogram_price_bins(spark, sf_dir):
+    """Equi-width histogram binning (map-side combinable; one shuffle of
+    bin partials regardless of input size)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (o.groupBy(F.floor(F.col("o_totalprice") / 50000).cast("int")
+                      .alias("bin"))
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.round(F.min("o_totalprice"), 2).alias("lo"),
+                 F.round(F.max("o_totalprice"), 2).alias("hi")))
