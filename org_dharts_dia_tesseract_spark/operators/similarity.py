@@ -90,3 +90,110 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     w = Window.partitionBy(q_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return (scored.withColumn("rk", F.row_number().over(w).cast("int"))
             .where(F.col("rk") <= k))
+
+
+# -- IVF (inverted-file) index: the scale path past LSH -------------------
+#
+# Train k coarse centroids (Lloyd iterations, deterministic init = first k
+# vectors by id), assign every vector to its nearest centroid ("inverted
+# list"), then score queries only against the nprobe nearest lists. At
+# 100 TB the assignment is a narrow map over a broadcast (k x dim) model,
+# the index can be written partitioned BY list_id so a probe prunes
+# partitions at the parquet scan, and nprobe/n_lists trades recall for a
+# ~n_lists/nprobe reduction in scored candidates. nprobe == n_lists
+# degenerates to exact brute force (used by the parity gate).
+
+def _l2sq(emb: Column, centroid: list[float]) -> Column:
+    carr = F.array(*[F.lit(float(c)) for c in centroid])
+    return F.aggregate(
+        F.zip_with(emb, carr,
+                   lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _nearest_list(emb: Column, centroids: list[list[float]]) -> Column:
+    """0-based id of the closest centroid; first-index tie-break."""
+    dists = F.array(*[_l2sq(emb, c) for c in centroids])
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def kmeans_centroids(embeddings: DataFrame, n_lists: int = 8,
+                     n_iters: int = 3, id_col: str = "vec_id",
+                     emb_col: str = "embedding") -> list[list[float]]:
+    """Deterministic Lloyd k-means. Init = farthest-first traversal
+    (k-center): seed 0 is the lowest-id vector, each next seed maximizes
+    its distance to the chosen set (ties -> lowest id), so seeds spread
+    across the data regardless of id layout. Each init step and each
+    Lloyd iteration is one distributed pass; only the (n_lists x dim)
+    model ever reaches the driver. Empty lists keep their previous
+    centroid."""
+    first = (embeddings.orderBy(id_col).limit(1).select(emb_col).collect())
+    centroids = [[float(x) for x in first[0][0]]]
+    while len(centroids) < n_lists:
+        d_min = F.least(*[_l2sq(F.col(emb_col), c) for c in centroids]) \
+            if len(centroids) > 1 else _l2sq(F.col(emb_col), centroids[0])
+        far = (embeddings.select(F.col(id_col), F.col(emb_col),
+                                 d_min.alias("_d"))
+               .orderBy(F.col("_d").desc(), F.col(id_col))
+               .limit(1).collect())
+        centroids.append([float(x) for x in far[0][1]])
+    for _ in range(n_iters):
+        assigned = embeddings.select(
+            _nearest_list(F.col(emb_col), centroids).alias("list_id"),
+            F.col(emb_col).alias("_e"))
+        means = (assigned
+                 .select("list_id", F.posexplode("_e").alias("dim", "val"))
+                 .groupBy("list_id", "dim")
+                 .agg(F.avg(F.col("val").cast("double")).alias("m"))
+                 .collect())
+        new = [list(c) for c in centroids]
+        for r in means:
+            new[r["list_id"]][r["dim"]] = float(r["m"])
+        centroids = new
+    return centroids
+
+
+def ivf_assign(embeddings: DataFrame, centroids: list[list[float]],
+               emb_col: str = "embedding") -> DataFrame:
+    """Build the inverted index: each vector tagged with its list_id.
+    Persist with .write.partitionBy('list_id') so probes prune the scan."""
+    return embeddings.withColumn(
+        "list_id", _nearest_list(F.col(emb_col), centroids))
+
+
+def _probe_lists(q_emb: Column, centroids: list[list[float]],
+                 nprobe: int) -> Column:
+    """Array of the nprobe nearest list ids for a query vector."""
+    ranked = F.array(*[F.struct(_l2sq(q_emb, c).alias("d"),
+                                F.lit(i).cast("int").alias("i"))
+                       for i, c in enumerate(centroids)])
+    return F.transform(F.slice(F.array_sort(ranked), 1, nprobe),
+                       lambda s: s["i"])
+
+
+def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+             n_lists: int = 8, nprobe: int = 2,
+             centroids: list[list[float]] | None = None,
+             id_col: str = "vec_id", emb_col: str = "embedding",
+             q_id_col: str = "q_id", q_emb_col: str = "q_emb") -> DataFrame:
+    """Approximate cosine top-k via IVF probing.
+
+    The (q_id, list_id) probe set broadcasts; the index side joins on its
+    partition column, so only nprobe/n_lists of the corpus is scored."""
+    if centroids is None:
+        centroids = kmeans_centroids(embeddings, n_lists=n_lists,
+                                     id_col=id_col, emb_col=emb_col)
+    index = ivf_assign(embeddings, centroids, emb_col)
+    probes = queries.select(
+        q_id_col, q_emb_col,
+        F.explode(_probe_lists(F.col(q_emb_col), centroids, nprobe))
+        .alias("list_id"))
+    scored = (index.join(F.broadcast(probes), "list_id")
+              .where(F.col(id_col) != F.col(q_id_col))
+              .select(q_id_col, id_col,
+                      cosine(F.col(q_emb_col), F.col(emb_col)).alias("cosine"))
+              .where(F.col("cosine").isNotNull()))
+    w = Window.partitionBy(q_id_col).orderBy(F.col("cosine").desc(),
+                                             F.col(id_col))
+    return (scored.withColumn("rk", F.row_number().over(w).cast("int"))
+            .where(F.col("rk") <= k))

@@ -1300,3 +1300,39 @@ def histogram_price_bins(spark, sf_dir):
             .agg(F.count("*").cast("bigint").alias("n"),
                  F.round(F.min("o_totalprice"), 2).alias("lo"),
                  F.round(F.max("o_totalprice"), 2).alias("hi")))
+
+
+_IVF_EXACT_SQL = """
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+               WHERE vec_id < 5),
+    scored AS (
+        SELECT q.q_id, e.vec_id,
+               list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+               AS cosine
+        FROM q, embeddings e
+        WHERE e.vec_id <> q.q_id)
+    SELECT q_id, vec_id, round(cosine, 4) AS cosine, CAST(rk AS INT) AS rk
+    FROM (SELECT q_id, vec_id, cosine,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cosine DESC, vec_id) AS rk
+          FROM scored)
+    WHERE rk <= 5
+"""
+
+
+@q("ivf_topk_probe_all", _IVF_EXACT_SQL)
+def ivf_topk_probe_all(spark, sf_dir):
+    """IVF ANN machinery (k-means train -> inverted lists -> probe join)
+    gated exactly: with nprobe == n_lists every list is probed, so the
+    result must equal brute-force cosine top-k (the SQL oracle). Recall
+    at nprobe < n_lists is pytest-covered (test_operators_wide)."""
+    from .operators.similarity import ivf_topk
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    out = ivf_topk(emb, qs, k=5, n_lists=8, nprobe=8)
+    return out.select("q_id", "vec_id",
+                      F.round("cosine", 4).alias("cosine"), "rk")

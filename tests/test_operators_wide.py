@@ -216,6 +216,47 @@ def test_similarity_brute_vs_lsh(spark):
         assert r["vec_id"] != r["q_id"]
 
 
+def test_ivf_probe_all_equals_brute_force(spark):
+    """nprobe == n_lists probes every inverted list -> exact top-k."""
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(60, 16)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    qs = (emb.where(F.col("vec_id") < 3)
+          .select(F.col("vec_id").alias("q_id"),
+                  F.col("embedding").alias("q_emb")))
+    exact = {(r["q_id"], r["rk"]): r["vec_id"]
+             for r in S.brute_force_topk(emb, qs, k=4).collect()}
+    ivf = {(r["q_id"], r["rk"]): r["vec_id"]
+           for r in S.ivf_topk(emb, qs, k=4, n_lists=4, nprobe=4).collect()}
+    assert ivf == exact
+
+
+def test_ivf_recall_and_determinism(spark):
+    """Clustered vectors: nprobe=1 still recovers same-cluster neighbors;
+    k-means training is deterministic across calls."""
+    rng = np.random.default_rng(3)
+    centers = rng.normal(size=(4, 16)) * 10
+    vecs = np.concatenate([
+        centers[i] + rng.normal(size=(15, 16)) * 0.1 for i in range(4)
+    ]).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    qs = (emb.where(F.col("vec_id").isin([0, 20, 40]))
+          .select(F.col("vec_id").alias("q_id"),
+                  F.col("embedding").alias("q_emb")))
+    c1 = S.kmeans_centroids(emb, n_lists=4, n_iters=3)
+    c2 = S.kmeans_centroids(emb, n_lists=4, n_iters=3)
+    assert c1 == c2
+    exact = {(r["q_id"], r["vec_id"])
+             for r in S.brute_force_topk(emb, qs, k=5).collect()}
+    got = {(r["q_id"], r["vec_id"])
+           for r in S.ivf_topk(emb, qs, k=5, n_lists=4, nprobe=1,
+                               centroids=c1).collect()}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.8, recall
+
+
 # -- multimodal -----------------------------------------------------------
 
 def test_multimodal_features(spark, corpus_small):
