@@ -59,26 +59,26 @@ def _run_flagship(spark, docs_path: str, media_path: str,
     return time.time() - t0, n
 
 
+def _probe_work(n):
+    import numpy as np
+    x = np.random.default_rng(1).random((400, 400))
+    s = 0.0
+    for _ in range(n):
+        s += float((x @ x)[0, 0])
+    return s
+
+
 def _machine_probe() -> dict:
     """Aggregate numpy throughput at 8 vs 32 processes: measures what
     parallel capacity the (shared, quota-throttled) sandbox actually
     provides at run time — context for interpreting scaling numbers."""
     import multiprocessing as mp
 
-    import numpy as np
-
-    def work(n):
-        x = np.random.default_rng(1).random((400, 400))
-        s = 0.0
-        for _ in range(n):
-            s += float((x @ x)[0, 0])
-        return s
-
     out = {}
     for procs in (8, 32):
         t0 = time.time()
         with mp.Pool(procs) as p:
-            p.map(work, [300] * procs)
+            p.map(_probe_work, [300] * procs)
         out[f"iters_per_sec_{procs}p"] = round(procs * 300 / (time.time() - t0), 1)
     out["machine_parallel_ratio_32v8"] = round(
         out["iters_per_sec_32p"] / out["iters_per_sec_8p"], 3)

@@ -1336,3 +1336,68 @@ def ivf_topk_probe_all(spark, sf_dir):
     out = ivf_topk(emb, qs, k=5, n_lists=8, nprobe=8)
     return out.select("q_id", "vec_id",
                       F.round("cosine", 4).alias("cosine"), "rk")
+
+
+# ==========================================================================
+# K. main-content extraction (north-rule markup leg): boilerplate strip
+# ==========================================================================
+
+def _doc_html_spark():
+    """Deterministic HTML page wrapped around each document's text —
+    same construction as _DOC_HTML_SQL so both engines strip the same
+    markup."""
+    return F.concat(
+        F.lit('<html><head><title>d'), F.col("doc_id").cast("string"),
+        F.lit('</title><script>var x = 1 < 2;</script></head>'
+              '<body><nav><a href="/">home</a> | <a href="/a">about</a></nav>'
+              '<header><h1>'),
+        F.col("source"),
+        F.lit('</h1></header><!-- ad slot --><p>'),
+        F.col("text"),
+        F.lit('</p><footer>&copy; 2026</footer></body></html>'))
+
+
+_DOC_HTML_SQL = (
+    "'<html><head><title>d' || CAST(doc_id AS VARCHAR) || "
+    "'</title><script>var x = 1 < 2;</script></head>"
+    "<body><nav><a href=\"/\">home</a> | <a href=\"/a\">about</a></nav>"
+    "<header><h1>' || source || "
+    "'</h1></header><!-- ad slot --><p>' || text || "
+    "'</p><footer>&copy; 2026</footer></body></html>'")
+
+
+def _html_strip_oracle_sql() -> str:
+    from .operators.boilerplate import strip_tags_sql
+    return f"""
+    SELECT doc_id, {strip_tags_sql(f"({_DOC_HTML_SQL})")} AS content
+    FROM documents
+"""
+
+
+@q("html_boilerplate_strip", None)   # SQL filled below (import-time cycle)
+def html_boilerplate_strip(spark, sf_dir):
+    """HTML boilerplate strip as a pure column expression: drop
+    script/style/nav/header/footer/... subtrees, comments and tags,
+    decode entities, collapse whitespace — all regexp_replace chains in
+    whole-stage codegen. The surviving text is exactly the document
+    body."""
+    from .operators.boilerplate import strip_tags_col
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id",
+                       strip_tags_col(_doc_html_spark()).alias("content"))
+
+
+_REGISTRY["html_boilerplate_strip"] = (html_boilerplate_strip,
+                                       _html_strip_oracle_sql())
+
+
+@q("html_main_content", None)   # rows-only: DOM heuristic (non-SQL kernel)
+def html_main_content(spark, sf_dir):
+    """DOM-heuristic main-content extraction (readability/justext family):
+    block split at structural tags, text-length + link-density scoring,
+    vectorized mapInPandas kernel. Pytest-gated against a python oracle;
+    registered rows-only (the heuristic is not ANSI-SQL-expressible)."""
+    from .operators.boilerplate import extract_main_content
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", _doc_html_spark().alias("html"))
+    return extract_main_content(docs, "html").select("doc_id", "content")

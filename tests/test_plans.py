@@ -80,3 +80,36 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path_factory):
 def test_aqe_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_tpch_q3_plan_broadcasts_dim_and_pushes_filters(spark):
+    """Q3 shape: the filtered customer dim must broadcast (no payload
+    shuffle for the dim) and both date filters must reach the parquet
+    scans as pushed predicates."""
+    from org_dharts_dia_tesseract_spark.queries import spark_queries
+    df = spark_queries()["tpch_q3_shipping_priority"](spark, SF)
+    assert P.has_broadcast_hash_join(df)
+    pf = " ".join(P.pushed_filters(df))
+    assert "o_orderdate" in pf and "l_shipdate" in pf
+    assert "c_mktsegment" in pf
+
+
+def test_tpch_q5_plan_single_fact_shuffle(spark):
+    """Q5 star join: every dim is broadcast; the only exchanges are the
+    two fact sides of lineitem-orders plus the final agg (<= 3)."""
+    from org_dharts_dia_tesseract_spark.queries import spark_queries
+    df = spark_queries()["tpch_q5_local_supplier_volume"](spark, SF)
+    s = P.explain_str(df)
+    assert s.count("BroadcastHashJoin") >= 3
+    assert P.n_exchanges(df) <= 3
+
+
+def test_histogram_partial_agg(spark):
+    """Equi-width histogram must map-side combine: a partial HashAggregate
+    below the exchange and a final one above — the shuffle carries bin
+    partials, never rows."""
+    from org_dharts_dia_tesseract_spark.queries import spark_queries
+    df = spark_queries()["histogram_price_bins"](spark, SF)
+    s = P.explain_str(df, "simple")
+    assert s.count("HashAggregate") >= 2
+    assert P.n_exchanges(df) == 1
