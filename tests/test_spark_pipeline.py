@@ -117,9 +117,11 @@ def test_driver_contract_entry(spark):
     qs, oq = e.queries(), e.oracle_sql()
     assert set(oq).issubset(set(qs))
     assert len(oq) >= 25
-    # every rows-only query is a raster-pipeline op
+    # every rows-only query is a raster-pipeline op or a documented
+    # non-SQL-expressible op (DOM-heuristic scorer runs in mapInPandas)
+    rows_only_allowed = {"html_main_content"}
     for name in set(qs) - set(oq):
-        assert name.startswith("ocr_")
+        assert name.startswith("ocr_") or name in rows_only_allowed, name
 
 
 def test_whitelist_and_psm_flow_through(spark, corpus):
