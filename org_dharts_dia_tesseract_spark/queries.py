@@ -472,15 +472,18 @@ _SHINGLES_SQL = f"""
 
 
 def _shingles(spark, sf_dir):
-    w = Window.partitionBy("doc_id").orderBy("word_id")
-    return (_words(spark, sf_dir)
-            .withColumn("shingle",
-                        F.concat_ws(" ", "word",
-                                    F.lead("word", 1).over(w),
-                                    F.lead("word", 2).over(w)))
-            .withColumn("has3", F.lead("word", 2).over(w).isNotNull())
-            .where(F.col("has3"))
-            .select("doc_id", "shingle"))
+    # map-side shingling via higher-order array fns: same rows as the
+    # window-lead formulation (the SQL oracle keeps that shape) but with
+    # NO shuffle — at corpus scale the lead() version shuffles every word
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs
+            .withColumn("__ws", F.filter(F.split("text", " "),
+                                         lambda w: w != ""))
+            .select("doc_id", F.explode(F.expr(
+                "CASE WHEN size(__ws) >= 3 THEN "
+                "transform(sequence(0, size(__ws) - 3), "
+                "i -> concat_ws(' ', __ws[i], __ws[i+1], __ws[i+2])) "
+                "ELSE array() END")).alias("shingle")))
 
 
 _MINHASH_SQL = f"""
@@ -545,19 +548,20 @@ def minhash_lsh_pairs(spark, sf_dir):
     GROUP BY doc_id
 """)
 def simhash32(spark, sf_dir):
-    """32-bit SimHash from word-hash bit votes (near-dup fingerprint)."""
+    """32-bit SimHash from word-hash bit votes (near-dup fingerprint).
+
+    One groupBy with 32 vote-sum columns (map-side combinable, single
+    shuffle) instead of the oracle SQL's bit-explode shape — the explode
+    multiplies the shuffled rows 32x and needs a second aggregation."""
     wh = _words(spark, sf_dir).select("doc_id", _h32(F.col("word")).alias("h"))
-    bits = (wh.select("doc_id", "h",
-                      F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j"))
-            .withColumn("vote", F.when(
-                F.expr("shiftright(h, j) % 2") == 1, 1
-            ).otherwise(-1))
-            .groupBy("doc_id", "j")
-            .agg(F.sum("vote").alias("s")))
-    return (bits.groupBy("doc_id")
-            .agg(F.sum(F.when(F.col("s") > 0,
-                              F.pow(F.lit(2), F.col("j")).cast("bigint"))
-                       .otherwise(0)).cast("bigint").alias("simhash")))
+    votes = [F.sum(F.when(F.expr(f"shiftright(h, {j}) % 2") == 1, 1)
+                   .otherwise(-1)).alias(f"s{j}") for j in range(32)]
+    sums = wh.groupBy("doc_id").agg(*votes)
+    fp = None
+    for j in range(32):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(0)
+        fp = term if fp is None else fp + term
+    return sums.select("doc_id", fp.cast("bigint").alias("simhash"))
 
 
 @q("ngram_jaccard_pairs", f"""

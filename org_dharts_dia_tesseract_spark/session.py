@@ -50,6 +50,15 @@ def get_spark(master: str | None = None, app_name: str = "dia-engine",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
+    # one BLAS thread per Python worker: task-level parallelism is Spark's
+    # job; nested BLAS threading oversubscribes cores once N workers run
+    # numpy kernels concurrently (quadratic thread count at local[32])
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
+                "MKL_NUM_THREADS"):
+        b = b.config(f"spark.executorEnv.{var}", "1")
+        # local mode: Python workers fork from this process, so the
+        # driver env (not executorEnv) is what they inherit
+        os.environ.setdefault(var, "1")
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
