@@ -104,6 +104,26 @@ def test_tpch_q5_plan_single_fact_shuffle(spark):
     assert P.n_exchanges(df) <= 3
 
 
+def test_minhash_signature_single_shuffle(spark):
+    """Shingling is a narrow map (higher-order array fns, no window): the
+    signature plan's only exchange is the doc_id groupBy."""
+    from org_dharts_dia_tesseract_spark.queries import spark_queries
+    df = spark_queries()["minhash_signatures"](spark, SF)
+    assert P.n_exchanges(df) == 1
+    s = P.explain_str(df)
+    assert "Window" not in s
+
+
+def test_simhash_single_shuffle_partial_agg(spark):
+    """SimHash: one map-side-combinable groupBy (no 32x bit explode, no
+    second aggregation)."""
+    from org_dharts_dia_tesseract_spark.queries import spark_queries
+    df = spark_queries()["simhash32"](spark, SF)
+    assert P.n_exchanges(df) == 1
+    s = P.explain_str(df, "simple")
+    assert s.count("HashAggregate") >= 2      # partial + final
+
+
 def test_histogram_partial_agg(spark):
     """Equi-width histogram must map-side combine: a partial HashAggregate
     below the exchange and a final one above — the shuffle carries bin
