@@ -144,6 +144,21 @@ def _ocr_stage(rows: DataFrame, psm: str, salt_partitions: int | None) -> DataFr
     return rows.mapInPandas(run, SPAN_SCHEMA)
 
 
+def audit_dangling_media(documents: DataFrame,
+                         media: DataFrame) -> DataFrame:
+    """Image spans whose media_ref has no media row.
+
+    The OCR stage's inner join would drop these silently — at corpus
+    scale dangling refs are a data-quality fact to surface, not hide, so
+    the checkpointed runner records this audit in its manifests
+    (mirrors the reference failing a document whose image cannot be
+    read, ImageIOHelper.readImageData). Lean plan: only media_ref is
+    scanned on the media side (payload column pruned), anti join."""
+    img = _exploded(documents).where(F.col("kind") == "image") \
+        .select("doc_id", "offset", "media_ref")
+    return img.join(media.select("media_ref"), "media_ref", "left_anti")
+
+
 def extract_spans(documents: DataFrame, media: DataFrame, *,
                   psm: str = "AUTO",
                   broadcast_media: bool = False,

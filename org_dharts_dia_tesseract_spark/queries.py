@@ -1342,6 +1342,32 @@ def ivf_topk_probe_all(spark, sf_dir):
                       F.round("cosine", 4).alias("cosine"), "rk")
 
 
+@q("sql_tpch_q6_forecast_revenue", """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+""")
+def sql_tpch_q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape via the spark.sql(...) API over a temp view — the
+    SQL front-end surface (same Catalyst plan as the DataFrame form:
+    every predicate pushes to the parquet scan, agg is partial+final)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_v")
+    return spark.sql("""
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem_v
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """)
+
+
 # ==========================================================================
 # K. main-content extraction (north-rule markup leg): boilerplate strip
 # ==========================================================================

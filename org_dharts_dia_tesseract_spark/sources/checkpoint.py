@@ -53,15 +53,27 @@ def done_buckets(root: str) -> set[int]:
 
 def run_checkpointed(spark: SparkSession, documents: DataFrame,
                      media: DataFrame, root: str, n_buckets: int = 16,
-                     fail_buckets: set[int] | None = None) -> dict:
+                     fail_buckets: set[int] | None = None,
+                     audit: bool = True) -> dict:
     """Run span extraction bucket-by-bucket with manifests; skips buckets
     already DONE (resume). `fail_buckets` injects failures for tests.
+    `audit` records dangling media_refs (image spans whose media row is
+    missing — silently unprocessable) in manifests/_audit.json.
 
     Returns a summary dict {processed, skipped, failed}.
     """
-    from ..operators.extract import extract_spans
+    from ..operators.extract import audit_dangling_media, extract_spans
 
     os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
+    if audit:
+        dangling = audit_dangling_media(documents, media)
+        sample = [r.asDict() for r in dangling.limit(20).collect()]
+        apath = os.path.join(root, "manifests", "_audit.json")
+        with open(apath + ".tmp", "w") as f:
+            json.dump({"n_dangling_media_refs": dangling.count(),
+                       "sample": sample,
+                       "written_at": int(time.time())}, f)
+        os.replace(apath + ".tmp", apath)
     docs_b = documents.withColumn("bucket", bucket_of(F.col("doc_id"), n_buckets))
     docs_b.cache()
     already = done_buckets(root)
@@ -114,11 +126,20 @@ def read_output(spark: SparkSession, root: str) -> DataFrame:
 
 
 def metrics(root: str) -> list[dict]:
-    """All manifests (the per-partition metrics surface)."""
+    """All per-bucket manifests (the per-partition metrics surface)."""
     mdir = os.path.join(root, "manifests")
     out = []
     for name in sorted(os.listdir(mdir)) if os.path.isdir(mdir) else []:
-        if name.endswith(".json"):
+        if name.startswith("bucket-") and name.endswith(".json"):
             with open(os.path.join(mdir, name)) as f:
                 out.append(json.load(f))
     return out
+
+
+def audit(root: str) -> dict | None:
+    """The run-level data-quality audit (dangling media_refs), if any."""
+    apath = os.path.join(root, "manifests", "_audit.json")
+    if not os.path.exists(apath):
+        return None
+    with open(apath) as f:
+        return json.load(f)

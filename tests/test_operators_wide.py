@@ -323,6 +323,27 @@ def test_checkpoint_resume_after_failure(spark, corpus_small, tmp_path):
     pd.testing.assert_frame_equal(direct, resumed)
 
 
+def test_dangling_media_audit(spark, corpus_small, tmp_path):
+    """A missing media row must be surfaced by the audit (the inner-join
+    hot path would drop its span silently), and a complete corpus audits
+    clean."""
+    from org_dharts_dia_tesseract_spark.operators.extract import \
+        audit_dangling_media
+    from org_dharts_dia_tesseract_spark.sources import checkpoint as C
+    docs_df, media_df = corpus_small
+    assert audit_dangling_media(docs_df, media_df).count() == 0
+    victim = media_df.select("media_ref").first()[0]
+    holed = media_df.where(F.col("media_ref") != victim)
+    rows = audit_dangling_media(docs_df, holed).collect()
+    assert [r["media_ref"] for r in rows] == [victim]
+    # the checkpointed runner records it in the run-level audit manifest
+    root = str(tmp_path / "ckpt_audit")
+    C.run_checkpointed(spark, docs_df, holed, root, n_buckets=2)
+    a = C.audit(root)
+    assert a["n_dangling_media_refs"] == 1
+    assert a["sample"][0]["media_ref"] == victim
+
+
 # -- hierarchy enrichment (I8/R3-R6 distributed) --------------------------
 
 def test_hierarchy_enrichment_columns(hier):

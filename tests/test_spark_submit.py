@@ -70,8 +70,11 @@ def test_spark_submit_py_files_run_and_resume(tmp_path):
     n1 = con.execute(
         f"SELECT count(*) FROM '{out_root}/data/*/*.parquet'").fetchone()[0]
     assert n1 == first["n_spans"]
-    manifests = sorted(os.listdir(os.path.join(out_root, "manifests")))
+    listing = sorted(os.listdir(os.path.join(out_root, "manifests")))
+    manifests = [n for n in listing if n.startswith("bucket-")]
     assert manifests == [f"bucket-{b}.json" for b in range(4)]
+    with open(os.path.join(out_root, "manifests", "_audit.json")) as f:
+        assert json.load(f)["n_dangling_media_refs"] == 0
     for name in manifests:
         with open(os.path.join(out_root, "manifests", name)) as f:
             m = json.load(f)
