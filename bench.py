@@ -220,9 +220,28 @@ def main() -> None:
     }
 
     if os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "1") == "1":
-        _write_bench_md(result)   # scaling-only iteration runs don't
-                                  # clobber the full BENCH.md
+        _write_bench_md(result)
+    else:
+        # scaling-only iteration: refresh just the scaling section of an
+        # existing BENCH.md (headline numbers stay from their full run)
+        _splice_scaling_md(result)
     print(json.dumps(result))
+
+
+def _splice_scaling_md(result: dict) -> None:
+    path = os.path.join(REPO, "BENCH.md")
+    if "efficiency" not in (result.get("scaling") or {}):
+        return
+    if not os.path.exists(path):
+        return
+    with open(path) as f:
+        head = f.read().split("\n## Scaling")[0].rstrip()
+    _write_bench_md(result)
+    with open(path) as f:
+        tail = f.read().split("\n## Scaling", 1)
+    if len(tail) == 2:
+        with open(path, "w") as f:
+            f.write(head + "\n\n## Scaling" + tail[1])
 
 
 def _write_bench_md(result: dict) -> None:

@@ -323,6 +323,28 @@ def test_checkpoint_resume_after_failure(spark, corpus_small, tmp_path):
     pd.testing.assert_frame_equal(direct, resumed)
 
 
+def test_binary_file_media_source(spark, corpus_small, tmp_path):
+    """Loose-file media via the binaryFile data source must feed the
+    pipeline identically to the parquet media table (S1 file-scan
+    parity)."""
+    from org_dharts_dia_tesseract_spark.operators import extract_spans
+    from org_dharts_dia_tesseract_spark.sources.tables import (
+        dump_media_files, load_media_files)
+    docs_df, media_df = corpus_small
+    d = str(tmp_path / "loose_media")
+    n = dump_media_files(media_df, d)
+    loaded = load_media_files(spark, d)
+    assert loaded.count() == n == media_df.count()
+    cols = ["doc_id", "seq", "kind", "text", "media_ref"]
+    via_files = (extract_spans(docs_df, loaded).select(cols)
+                 .toPandas().sort_values(["doc_id", "seq"])
+                 .reset_index(drop=True))
+    via_parquet = (extract_spans(docs_df, media_df).select(cols)
+                   .toPandas().sort_values(["doc_id", "seq"])
+                   .reset_index(drop=True))
+    pd.testing.assert_frame_equal(via_files, via_parquet)
+
+
 def test_dangling_media_audit(spark, corpus_small, tmp_path):
     """A missing media row must be surfaced by the audit (the inner-join
     hot path would drop its span silently), and a complete corpus audits
