@@ -15,6 +15,7 @@ Two paths, same results where they overlap:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -111,45 +112,84 @@ def _l2sq(emb: Column, centroid: list[float]) -> Column:
         F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _centroid_dists(centroids: list[list[float]]):
+    """(n, d) batch -> (n, k) squared distances to the broadcast model.
+
+    The model ships inside the pandas_udf closure (the broadcast-model +
+    vectorized-Arrow-kernel pattern): one small codegen'd plan regardless
+    of k x d, where the pure-expression form compiles a fresh giant
+    aggregate(zip_with(...)) tree per centroid per pass."""
+    import numpy as np
+    C = np.asarray(centroids, dtype=np.float64)          # (k, d)
+    csq = (C * C).sum(axis=1)                            # (k,)
+
+    def dists(s: pd.Series) -> "np.ndarray":
+        X = np.stack(s.to_numpy()).astype(np.float64)    # (n, d)
+        # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2, computed exactly enough:
+        # argmin/min are tie-broken identically to the expression form
+        return ((X * X).sum(axis=1)[:, None]
+                - 2.0 * (X @ C.T) + csq[None, :])
+    return dists
+
+
+def _nearest_list_udf(centroids: list[list[float]]):
+    from pyspark.sql.functions import pandas_udf
+    dists = _centroid_dists(centroids)
+
+    @pandas_udf("int")
+    def f(s: pd.Series) -> pd.Series:
+        return pd.Series(dists(s).argmin(axis=1)).astype("int32")
+    return f
+
+
 def _nearest_list(emb: Column, centroids: list[list[float]]) -> Column:
     """0-based id of the closest centroid; first-index tie-break."""
-    dists = F.array(*[_l2sq(emb, c) for c in centroids])
-    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    return _nearest_list_udf(centroids)(emb)
 
 
 def kmeans_centroids(embeddings: DataFrame, n_lists: int = 8,
                      n_iters: int = 3, id_col: str = "vec_id",
-                     emb_col: str = "embedding") -> list[list[float]]:
+                     emb_col: str = "embedding",
+                     init_sample: int = 2048) -> list[list[float]]:
     """Deterministic Lloyd k-means. Init = farthest-first traversal
-    (k-center): seed 0 is the lowest-id vector, each next seed maximizes
-    its distance to the chosen set (ties -> lowest id), so seeds spread
-    across the data regardless of id layout. Each init step and each
+    (k-center) over a deterministic hash-ordered sample, run driver-side
+    in numpy: seed 0 is the lowest-id sampled vector, each next seed
+    maximizes its distance to the chosen set (ties -> lowest id). ONE
+    distributed pass fetches the sample (vs k sequential argmax jobs —
+    per-job fixed overhead dominated training time); when the corpus is
+    no larger than the sample, the init is exact farthest-first. Each
     Lloyd iteration is one distributed pass; only the (n_lists x dim)
     model ever reaches the driver. Empty lists keep their previous
     centroid."""
-    first = (embeddings.orderBy(id_col).limit(1).select(emb_col).collect())
-    centroids = [[float(x) for x in first[0][0]]]
-    while len(centroids) < n_lists:
-        d_min = F.least(*[_l2sq(F.col(emb_col), c) for c in centroids]) \
-            if len(centroids) > 1 else _l2sq(F.col(emb_col), centroids[0])
-        far = (embeddings.select(F.col(id_col), F.col(emb_col),
-                                 d_min.alias("_d"))
-               .orderBy(F.col("_d").desc(), F.col(id_col))
-               .limit(1).collect())
-        centroids.append([float(x) for x in far[0][1]])
+    import numpy as np
+    embeddings = embeddings.select(id_col, emb_col).cache()
+    sample = (embeddings
+              .orderBy(F.xxhash64(F.col(id_col).cast("string")), id_col)
+              .limit(init_sample)
+              .orderBy(id_col).collect())
+    X = np.array([[float(v) for v in r[1]] for r in sample])   # id-sorted
+    seeds = [0]
+    d_min = ((X - X[0]) ** 2).sum(axis=1)
+    while len(seeds) < min(n_lists, len(X)):
+        nxt = int(np.argmax(d_min))            # first index == lowest id
+        seeds.append(nxt)
+        d_min = np.minimum(d_min, ((X - X[nxt]) ** 2).sum(axis=1))
+    centroids = [list(map(float, X[i])) for i in seeds]
+    dim = len(centroids[0])
     for _ in range(n_iters):
         assigned = embeddings.select(
             _nearest_list(F.col(emb_col), centroids).alias("list_id"),
             F.col(emb_col).alias("_e"))
-        means = (assigned
-                 .select("list_id", F.posexplode("_e").alias("dim", "val"))
-                 .groupBy("list_id", "dim")
-                 .agg(F.avg(F.col("val").cast("double")).alias("m"))
+        # per-dimension avg columns: map-side combinable, no 64x explode
+        means = (assigned.groupBy("list_id")
+                 .agg(*[F.avg(F.col("_e")[d].cast("double")).alias(f"m{d}")
+                        for d in range(dim)])
                  .collect())
         new = [list(c) for c in centroids]
         for r in means:
-            new[r["list_id"]][r["dim"]] = float(r["m"])
+            new[r["list_id"]] = [float(r[f"m{d}"]) for d in range(dim)]
         centroids = new
+    embeddings.unpersist()
     return centroids
 
 
