@@ -220,28 +220,39 @@ def main() -> None:
     }
 
     if os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "1") == "1":
-        _write_bench_md(result)
+        if SCALING:
+            _write_bench_md(result)
+        else:
+            _splice_md(result, keep="scaling")   # headline-only refresh
     else:
-        # scaling-only iteration: refresh just the scaling section of an
-        # existing BENCH.md (headline numbers stay from their full run)
-        _splice_scaling_md(result)
+        _splice_md(result, keep="head")          # scaling-only refresh
     print(json.dumps(result))
 
 
-def _splice_scaling_md(result: dict) -> None:
+def _splice_md(result: dict, keep: str) -> None:
+    """Partial refresh of BENCH.md: rewrite one half, preserve the other
+    (head = everything before '## Scaling'; scaling = that section)."""
     path = os.path.join(REPO, "BENCH.md")
-    if "efficiency" not in (result.get("scaling") or {}):
-        return
-    if not os.path.exists(path):
-        return
-    with open(path) as f:
-        head = f.read().split("\n## Scaling")[0].rstrip()
+    old = None
+    if os.path.exists(path):
+        with open(path) as f:
+            parts = f.read().split("\n## Scaling", 1)
+        if keep == "scaling" and len(parts) == 2:
+            old = "\n## Scaling" + parts[1].rstrip() + "\n"
+        elif keep == "head":
+            old = parts[0].rstrip()
+    if keep == "head" and (old is None
+                           or "efficiency" not in (result.get("scaling") or {})):
+        return   # nothing usable to splice
     _write_bench_md(result)
     with open(path) as f:
-        tail = f.read().split("\n## Scaling", 1)
-    if len(tail) == 2:
+        parts = f.read().split("\n## Scaling", 1)
+    if keep == "scaling":
         with open(path, "w") as f:
-            f.write(head + "\n\n## Scaling" + tail[1])
+            f.write(parts[0].rstrip() + "\n" + (old or "\n"))
+    elif len(parts) == 2:
+        with open(path, "w") as f:
+            f.write(old + "\n\n## Scaling" + parts[1])
 
 
 def _write_bench_md(result: dict) -> None:
