@@ -117,8 +117,18 @@ def _joined_images(documents: DataFrame, media: DataFrame,
     return img.join(m, "media_ref")
 
 
-def _ocr_stage(rows: DataFrame, psm: str, salt_partitions: int | None) -> DataFrame:
-    """Image-span rows (with payload) -> block-level sub-spans."""
+def _ocr_stage(rows: DataFrame, psm: str, salt_partitions: int | None,
+               on_error: str = "fail") -> DataFrame:
+    """Image-span rows (with payload) -> block-level sub-spans.
+
+    on_error: 'fail' raises (strict, the reference's TesseractException
+    behavior); 'dead-letter' emits one in-band span (kind='error',
+    text=<reason>) for an undecodable/unanalyzable page so one corrupt
+    blob cannot kill a 10^12-doc job and the failure stays visible,
+    countable, and deterministic — no side channel."""
+    if on_error not in ("fail", "dead-letter"):
+        raise ValueError(f"on_error must be 'fail' or 'dead-letter', "
+                         f"got {on_error!r}")
     if salt_partitions:
         rows = rows.repartition(salt_partitions, "doc_id", "offset")
 
@@ -128,8 +138,20 @@ def _ocr_stage(rows: DataFrame, psm: str, salt_partitions: int | None) -> DataFr
         for pdf in batches:
             out: dict[str, list] = {f.name: [] for f in SPAN_SCHEMA}
             for r in pdf.itertuples(index=False):
-                img = decode_payload(r.payload, r.width, r.height, r.bands)
-                res = analyze_page(img, psm=psm)
+                try:
+                    img = decode_payload(r.payload, r.width, r.height,
+                                         r.bands)
+                    res = analyze_page(img, psm=psm)
+                except Exception as e:   # noqa: BLE001 — policy boundary
+                    if on_error == "fail":
+                        raise
+                    out["doc_id"].append(r.doc_id)
+                    out["offset"].append(r.offset)
+                    out["sub"].append(0)
+                    out["kind"].append("error")
+                    out["text"].append(f"{type(e).__name__}: {e}"[:200])
+                    out["media_ref"].append(r.media_ref)
+                    continue
                 for i, blk in enumerate(res.blocks):
                     is_text = blk.block_type in TEXT_KINDS
                     out["doc_id"].append(r.doc_id)
@@ -162,17 +184,19 @@ def audit_dangling_media(documents: DataFrame,
 def extract_spans(documents: DataFrame, media: DataFrame, *,
                   psm: str = "AUTO",
                   broadcast_media: bool = False,
-                  salt_partitions: int | None = None) -> DataFrame:
+                  salt_partitions: int | None = None,
+                  on_error: str = "fail") -> DataFrame:
     """Flagship query: (documents, media) -> ordered span table
     (doc_id, seq, kind, text, media_ref) — the invariant's exact shape
-    (FIXTURES.md section 4 / BASELINE.json input_hint)."""
+    (FIXTURES.md section 4 / BASELINE.json input_hint). on_error:
+    'fail' | 'dead-letter' (see _ocr_stage)."""
     text_spans = (_exploded(documents)
                   .where(F.col("kind") == "text")
                   .select("doc_id", "offset", F.lit(0).alias("sub"),
                           "kind", "text", "media_ref"))
     ocr_spans = _ocr_stage(
         _joined_images(documents, media, broadcast_media),
-        psm, salt_partitions)
+        psm, salt_partitions, on_error)
     all_spans = text_spans.unionByName(ocr_spans)
     w = Window.partitionBy("doc_id").orderBy("offset", "sub")
     return (all_spans

@@ -54,11 +54,15 @@ def done_buckets(root: str) -> set[int]:
 def run_checkpointed(spark: SparkSession, documents: DataFrame,
                      media: DataFrame, root: str, n_buckets: int = 16,
                      fail_buckets: set[int] | None = None,
-                     audit: bool = True) -> dict:
+                     audit: bool = True,
+                     on_error: str = "dead-letter") -> dict:
     """Run span extraction bucket-by-bucket with manifests; skips buckets
     already DONE (resume). `fail_buckets` injects failures for tests.
     `audit` records dangling media_refs (image spans whose media row is
     missing — silently unprocessable) in manifests/_audit.json.
+    `on_error` defaults to 'dead-letter': a corrupt page becomes an
+    in-band kind='error' span (counted per bucket in the manifest)
+    instead of permanently failing its bucket on every resume.
 
     Returns a summary dict {processed, skipped, failed}.
     """
@@ -93,13 +97,17 @@ def run_checkpointed(spark: SparkSession, documents: DataFrame,
                 raise RuntimeError(f"injected failure in bucket {b}")
             part = docs_b.where(F.col("bucket") == b).drop("bucket")
             n_docs = part.count()
-            out = extract_spans(part, media)
+            out = extract_spans(part, media, on_error=on_error)
             out_path = os.path.join(root, "data", f"bucket={b}")
             out.write.mode("overwrite").parquet(out_path)
-            n_spans = spark.read.parquet(out_path).count()
+            written = spark.read.parquet(out_path)
+            counts = written.groupBy(
+                (F.col("kind") == "error").alias("is_err")).count().collect()
+            n_spans = sum(r["count"] for r in counts)
+            n_err = sum(r["count"] for r in counts if r["is_err"])
             manifest = {
                 "bucket": b, "status": "DONE", "n_docs": n_docs,
-                "n_spans": n_spans,
+                "n_spans": n_spans, "n_error_spans": n_err,
                 "wall_ms": int((time.time() - t0) * 1000),
                 "attempt": attempt, "lineage_id": lineage_id,
                 "written_at": int(time.time()),

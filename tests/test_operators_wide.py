@@ -323,6 +323,45 @@ def test_checkpoint_resume_after_failure(spark, corpus_small, tmp_path):
     pd.testing.assert_frame_equal(direct, resumed)
 
 
+def test_corrupt_payload_error_policy(spark, corpus_small, tmp_path):
+    """A corrupt media payload: on_error='fail' raises (reference
+    TesseractException behavior); 'dead-letter' emits one in-band
+    kind='error' span for that page, leaves every other span untouched,
+    and the checkpointed runner counts it in the bucket manifest."""
+    from org_dharts_dia_tesseract_spark.operators import extract_spans
+    from org_dharts_dia_tesseract_spark.sources import checkpoint as C
+    docs_df, media_df = corpus_small
+    victim = media_df.select("media_ref").first()[0]
+    corrupted = media_df.withColumn(
+        "payload",
+        F.when(F.col("media_ref") == victim,
+               F.substring("payload", 1, 7)).otherwise(F.col("payload")))
+
+    with pytest.raises(Exception):
+        extract_spans(docs_df, corrupted).count()
+
+    out = extract_spans(docs_df, corrupted, on_error="dead-letter").cache()
+    errs = out.where(F.col("kind") == "error").collect()
+    assert len(errs) == 1 and errs[0]["media_ref"] == victim
+    assert errs[0]["text"]          # carries the reason
+    clean = extract_spans(docs_df, media_df)
+    # every span not from the corrupt page is identical
+    base = clean.where(F.col("media_ref").isNull()
+                       | ~F.col("media_ref").startswith(victim))
+    got = out.where(F.col("kind") != "error").where(
+        F.col("media_ref").isNull()
+        | ~F.col("media_ref").startswith(victim))
+    assert got.select("doc_id", "kind", "text", "media_ref").exceptAll(
+        base.select("doc_id", "kind", "text", "media_ref")).count() == 0
+    out.unpersist()
+
+    root = str(tmp_path / "ckpt_err")
+    C.run_checkpointed(spark, docs_df, corrupted, root, n_buckets=2)
+    ms = C.metrics(root)
+    assert all(m["status"] == "DONE" for m in ms)
+    assert sum(m["n_error_spans"] for m in ms) == 1
+
+
 def test_binary_file_media_source(spark, corpus_small, tmp_path):
     """Loose-file media via the binaryFile data source must feed the
     pipeline identically to the parquet media table (S1 file-scan
