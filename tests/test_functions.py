@@ -78,3 +78,49 @@ def test_language_spec_algebra():
     assert inc == {"hin"} and exc == {"eng"}
     with pytest.raises(InvalidParameterError):
         parse_language_spec("fra", avail)
+
+
+def test_udaf_percentile_matches_native(spark):
+    """Grouped-agg pandas UDAF == built-in percentile(0.9) exactly (both
+    linear interpolation)."""
+    from pyspark.sql import functions as F
+
+    from org_dharts_dia_tesseract_spark.functions.udxf import \
+        percentile90_udaf
+    from org_dharts_dia_tesseract_spark.sources.tables import load_table
+    o = load_table(spark, "/root/testdata/sf0.001", "orders")
+    p90 = percentile90_udaf()
+    a = o.groupBy("o_custkey").agg(p90("o_totalprice").alias("p90u"))
+    b = o.groupBy("o_custkey").agg(
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90n"))
+    assert a.count() > 0
+    assert a.join(b, "o_custkey").where(
+        F.abs(F.col("p90u") - F.col("p90n")) > 1e-9).count() == 0
+
+
+def test_udtf_word_split_matches_posexplode(spark):
+    """Python UDTF lateral join == posexplode(split()) minus empties,
+    via both the DataFrame helper and SQL LATERAL."""
+    from pyspark.sql import functions as F
+
+    from org_dharts_dia_tesseract_spark.functions.udxf import (
+        word_split_lateral, word_split_udtf)
+    from org_dharts_dia_tesseract_spark.sources.tables import load_table
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    got = word_split_lateral(docs)
+    native = (docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("word_id", "word"))
+        .where(F.col("word") != "")
+        .select("doc_id", "word", F.col("word_id").cast("int").alias("word_id")))
+    # posexplode keeps pre-filter indices; re-rank both for exact compare
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id").orderBy("word_id")
+    rerank = lambda df: df.withColumn(  # noqa: E731
+        "word_id", (F.row_number().over(w) - 1).cast("int"))
+    assert rerank(got).exceptAll(rerank(native)).count() == 0
+    assert rerank(native).exceptAll(rerank(got)).count() == 0
+    spark.udtf.register("word_split", word_split_udtf())
+    n = spark.sql(
+        "SELECT d.doc_id, s.word, s.word_id FROM {d} d, "
+        "LATERAL word_split(d.text) s", d=docs).count()
+    assert n == native.count()
