@@ -111,6 +111,24 @@ def _quick_capacity_ratio(lo_p: int, hi_p: int) -> float:
     return round(thr[hi_p] / thr[lo_p], 3)
 
 
+def _single_process_baseline(n_docs: int = 150) -> dict:
+    """Single-process end-to-end docs/sec of the oracle engine — the
+    stand-in for the reference's single-threaded wrapper (which publishes
+    no numbers, BASELINE.md): same kernels, no Spark, one core. The
+    'matches-or-beats single-node throughput' comparison in BENCH.md is
+    distributed-vs-this."""
+    from org_dharts_dia_tesseract_spark import datagen
+    from org_dharts_dia_tesseract_spark.oracle.page import document_spans
+    docs, media = datagen.make_corpus(n_docs)
+    lookup = {m["media_ref"]: m for m in media}.get
+    t0 = time.time()
+    for d in docs:
+        document_spans(d, lookup)
+    el = time.time() - t0
+    return {"docs_per_sec_1core": round(n_docs / el, 2),
+            "n_docs": n_docs, "elapsed": round(el, 3)}
+
+
 def worker_main(master: str) -> None:
     """One scaling measurement in a clean JVM; prints its own JSON line.
     Best-of-2 trials after a warm-up to damp co-tenant contention noise."""
@@ -145,6 +163,7 @@ def main() -> None:
     elapsed, n_spans = _run_flagship(spark, docs_path, media_path, salt=None)
     queries["ocr_extract_spans"] = round(elapsed, 3)
     docs_per_sec = n_docs / elapsed
+    single = _single_process_baseline()
 
     if os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "1") == "1":
         qs = spark_queries()
@@ -216,6 +235,7 @@ def main() -> None:
         "n_docs": n_docs,
         "n_spans": n_spans,
         "ocr_docs_per_sec": round(docs_per_sec, 2),
+        "single_process_baseline": single,
         "scaling": scaling,
     }
 
@@ -265,6 +285,12 @@ def _write_bench_md(result: dict) -> None:
         f"- flagship OCR-span extraction: "
         f"**{result['ocr_docs_per_sec']} docs/sec** on local[{CPUS}] "
         f"({result['queries']['ocr_extract_spans']} s)",
+        f"- single-process oracle baseline (the reference-wrapper analog — "
+        f"the reference itself publishes no numbers): "
+        f"{result['single_process_baseline']['docs_per_sec_1core']} docs/sec "
+        f"on 1 core -> distributed beats single-node by "
+        f"**{result['ocr_docs_per_sec'] / result['single_process_baseline']['docs_per_sec_1core']:.1f}x** "
+        "at equal data",
         "",
         "## Headline query times (sec)",
         "",
