@@ -1342,6 +1342,44 @@ def ivf_topk_probe_all(spark, sf_dir):
                       F.round("cosine", 4).alias("cosine"), "rk")
 
 
+@q("tpch_q18_large_orders", """
+    SELECT c.c_custkey, o.o_orderkey,
+           CAST(strftime(o.o_orderdate, '%Y-%m-%d') AS VARCHAR) AS orderdate,
+           round(o.o_totalprice, 2) AS totalprice,
+           round(sum(l.l_quantity), 2) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING sum(l_quantity) > 210)
+    GROUP BY c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+""")
+def tpch_q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: HAVING-filtered IN-subquery -> semi join on the
+    fact key. The subquery aggregates map-side then semi-joins lineitem
+    back on l_orderkey — at scale both sides shuffle on the same key, so
+    the exchange is reused across the semi join and the outer join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("q"))
+           .where(F.col("q") > 210)
+           .select("l_orderkey"))
+    return (li.join(big, "l_orderkey", "left_semi")
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("c_custkey", "o_orderkey", "o_orderdate",
+                     "o_totalprice")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+            .select("c_custkey", "o_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd")
+                    .alias("orderdate"),
+                    F.round("o_totalprice", 2).alias("totalprice"),
+                    "total_qty"))
+
+
 @q("sql_tpch_q6_forecast_revenue", """
     SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
            CAST(count(*) AS BIGINT) AS n_lines
