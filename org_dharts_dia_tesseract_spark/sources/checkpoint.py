@@ -55,7 +55,8 @@ def run_checkpointed(spark: SparkSession, documents: DataFrame,
                      media: DataFrame, root: str, n_buckets: int = 16,
                      fail_buckets: set[int] | None = None,
                      audit: bool = True,
-                     on_error: str = "dead-letter") -> dict:
+                     on_error: str = "dead-letter",
+                     concurrency: int = 1) -> dict:
     """Run span extraction bucket-by-bucket with manifests; skips buckets
     already DONE (resume). `fail_buckets` injects failures for tests.
     `audit` records dangling media_refs (image spans whose media row is
@@ -63,6 +64,10 @@ def run_checkpointed(spark: SparkSession, documents: DataFrame,
     `on_error` defaults to 'dead-letter': a corrupt page becomes an
     in-band kind='error' span (counted per bucket in the manifest)
     instead of permanently failing its bucket on every resume.
+    `concurrency` > 1 submits that many bucket jobs at once (Spark's
+    scheduler interleaves them) — a sequential driver loop leaves the
+    cluster idle between jobs once bucket counts grow; manifests stay
+    correct because each is an atomic per-bucket rename.
 
     Returns a summary dict {processed, skipped, failed}.
     """
@@ -83,9 +88,8 @@ def run_checkpointed(spark: SparkSession, documents: DataFrame,
     already = done_buckets(root)
     summary = {"processed": [], "skipped": sorted(already), "failed": []}
     lineage_id = uuid.uuid4().hex
-    for b in range(n_buckets):
-        if b in already:
-            continue
+
+    def run_bucket(b: int) -> tuple[int, bool]:
         attempt = 1
         prev = _manifest_path(root, b)
         if os.path.exists(prev):
@@ -112,7 +116,7 @@ def run_checkpointed(spark: SparkSession, documents: DataFrame,
                 "attempt": attempt, "lineage_id": lineage_id,
                 "written_at": int(time.time()),
             }
-            summary["processed"].append(b)
+            ok = True
         except Exception as e:   # noqa: BLE001 — manifest must record any failure
             manifest = {
                 "bucket": b, "status": "FAILED", "error": str(e)[:500],
@@ -120,11 +124,22 @@ def run_checkpointed(spark: SparkSession, documents: DataFrame,
                 "attempt": attempt, "lineage_id": lineage_id,
                 "written_at": int(time.time()),
             }
-            summary["failed"].append(b)
-        tmp = _manifest_path(root, b) + ".tmp"
+            ok = False
+        tmp = _manifest_path(root, b) + f".tmp{b}"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp, _manifest_path(root, b))   # atomic commit
+        return b, ok
+
+    todo = [b for b in range(n_buckets) if b not in already]
+    if concurrency <= 1:
+        results = [run_bucket(b) for b in todo]
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=concurrency) as pool:
+            results = list(pool.map(run_bucket, todo))
+    for b, ok in sorted(results):
+        summary["processed" if ok else "failed"].append(b)
     docs_b.unpersist()
     return summary
 

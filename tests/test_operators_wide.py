@@ -323,6 +323,30 @@ def test_checkpoint_resume_after_failure(spark, corpus_small, tmp_path):
     pd.testing.assert_frame_equal(direct, resumed)
 
 
+def test_checkpoint_concurrent_buckets_identical(spark, corpus_small,
+                                                 tmp_path):
+    """concurrency=4 submits bucket jobs in parallel; output and
+    manifests must equal the sequential run exactly."""
+    from org_dharts_dia_tesseract_spark.sources import checkpoint as C
+    docs_df, media_df = corpus_small
+    seq_root = str(tmp_path / "seq")
+    par_root = str(tmp_path / "par")
+    s1 = C.run_checkpointed(spark, docs_df, media_df, seq_root,
+                            n_buckets=4, audit=False)
+    s2 = C.run_checkpointed(spark, docs_df, media_df, par_root,
+                            n_buckets=4, audit=False, concurrency=4)
+    assert s1["processed"] == s2["processed"] == [0, 1, 2, 3]
+    cols = ["doc_id", "seq", "kind", "text", "media_ref"]
+    a = (C.read_output(spark, seq_root).select(cols).toPandas()
+         .sort_values(["doc_id", "seq"]).reset_index(drop=True))
+    b = (C.read_output(spark, par_root).select(cols).toPandas()
+         .sort_values(["doc_id", "seq"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    per_bucket = lambda root: {  # noqa: E731
+        m["bucket"]: (m["n_docs"], m["n_spans"]) for m in C.metrics(root)}
+    assert per_bucket(seq_root) == per_bucket(par_root)
+
+
 def test_corrupt_payload_error_policy(spark, corpus_small, tmp_path):
     """A corrupt media payload: on_error='fail' raises (reference
     TesseractException behavior); 'dead-letter' emits one in-band

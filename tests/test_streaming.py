@@ -71,6 +71,52 @@ def test_stateful_sessionize_stream(spark, events_stream, tmp_path):
                     "session_end"]].astype(got.dtypes.to_dict()))
 
 
+def test_watermark_drops_late_data(spark, tmp_path):
+    """An event arriving in a later micro-batch, older than the watermark
+    behind the stream's max ts, must NOT revise an already-final window
+    (the late-data tolerance boundary of streaming_event_counts)."""
+    import os
+    from org_dharts_dia_tesseract_spark.streaming import \
+        streaming_event_counts
+    src = tmp_path / "late_src"
+    os.makedirs(src)
+    schema = "user_id long, event_id long, event_type string, ts timestamp, value double, props string"
+    from datetime import datetime
+    t = lambda h, m: datetime(2026, 1, 1, h, m)   # noqa: E731
+    data_dir = src / "data"
+    os.makedirs(data_dir)
+
+    out_dir = str(tmp_path / "late_out")
+
+    def run_batch():
+        stream = (spark.readStream.schema(schema).parquet(str(data_dir)))
+        q = (streaming_event_counts(stream)
+             .writeStream.format("parquet").option("path", out_dir)
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    rows1 = [(1, 1, "click", t(10, 0), 1.0, "{}"),
+             (1, 2, "click", t(12, 0), 1.0, "{}")]
+    spark.createDataFrame(rows1, schema).coalesce(1) \
+        .write.mode("append").parquet(str(data_dir))
+    run_batch()   # watermark advances to 11:30 at this run's end
+    # 10:05 event arrives AFTER the stream committed max ts 12:00 -> it
+    # is > 30 min (the watermark) behind, so its 10:00 window is final
+    rows2 = [(1, 3, "click", t(10, 5), 1.0, "{}")]
+    spark.createDataFrame(rows2, schema).coalesce(1) \
+        .write.mode("append").parquet(str(data_dir))
+    run_batch()
+    run_batch()   # one more pass: any (incorrect) revision would flush
+    got = {(str(r["window_start"]), r["n_events"])
+           for r in spark.read.parquet(out_dir).collect()}
+    # the 10:00 window closed with 1 event; the late 10:05 event was
+    # dropped, never appended as a revision
+    assert ("2026-01-01 10:00:00", 1) in got
+    assert ("2026-01-01 10:00:00", 2) not in got
+
+
 def test_streaming_span_extraction(spark, tmp_path):
     from org_dharts_dia_tesseract_spark.sources import materialize_corpus
     from org_dharts_dia_tesseract_spark.streaming import \
