@@ -76,6 +76,8 @@ HIERARCHY_SCHEMA = T.StructType([
     T.StructField("text", T.StringType(), True),
     T.StructField("confidence", T.FloatType(), True),
     T.StructField("is_virtual", T.BooleanType(), False),
+    # PARA rows: justification (PublicTypes.java:281-313)
+    T.StructField("justification", T.StringType(), True),
     # BLOCK rows: orientation (I8)
     T.StructField("orientation", T.StringType(), True),
     T.StructField("writing_direction", T.StringType(), True),

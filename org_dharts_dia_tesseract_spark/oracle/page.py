@@ -20,8 +20,8 @@ import numpy as np
 
 from .binarize import otsu_binarize
 from .recognize import font_attributes, recognize_blocks
-from .segment import (IMAGE_KINDS, TEXT_KINDS, Box, Node, detect_orientation,
-                      segment)
+from .segment import (IMAGE_KINDS, TEXT_KINDS, Box, Node,
+                      detect_justification, detect_orientation, segment)
 
 DEFAULT_PPI = 96
 
@@ -70,6 +70,9 @@ class PageResult:
                 "text": n.text,
                 "confidence": n.confidence,
                 "is_virtual": n.virtual,
+                # PARA-level justification (PublicTypes.java:281-313,
+                # declared in the reference but never wired); None elsewhere
+                "justification": getattr(n, "justification", None),
                 # BLOCK-level orientation (I8); None elsewhere
                 "orientation": orient["orientation"] if orient else None,
                 "writing_direction": orient["writing_direction"] if orient else None,
@@ -172,6 +175,9 @@ def analyze_page(img: np.ndarray, psm: str = "AUTO", roi: Box | None = None,
                                 sym, line.box, base_y)
     for blk in blocks:
         blk.orientation_info = detect_orientation(ink, blk.box)  # type: ignore[attr-defined]
+        if blk.block_type in TEXT_KINDS:
+            for para in blk.children:
+                para.justification = detect_justification(para)  # type: ignore[attr-defined]
     h, w = ink.shape
     return PageResult(blocks=blocks, width=w, height=h, psm=psm,
                       recognized=recognize)

@@ -270,6 +270,30 @@ def _collapse(blocks: list[Node], keep_level: str) -> list[Node]:
     return blocks[:1]
 
 
+def detect_justification(para: "Node", tol: int = 3) -> str:
+    """ParagraphJustification for a PARA node from its line boxes.
+
+    The reference declares the vocabulary (PublicTypes.java:281-313:
+    UNKNOWN/LEFT/CENTER/RIGHT) but never wired a getter — this implements
+    the missing capability. Alignment of an edge = its spread across
+    lines <= tol px. LEFT wins ties (fully-justified text reads as LEFT,
+    matching common hOCR practice); <2 lines is UNKNOWN (one line aligns
+    with everything)."""
+    lines = [c.box for c in para.children if not c.virtual]
+    if len(lines) < 2:
+        return "UNKNOWN"
+    lefts = [b[0] for b in lines]
+    rights = [b[2] for b in lines]
+    centers = [(b[0] + b[2]) / 2 for b in lines]
+    if max(lefts) - min(lefts) <= tol:
+        return "LEFT"
+    if max(rights) - min(rights) <= tol:
+        return "RIGHT"
+    if max(centers) - min(centers) <= tol:
+        return "CENTER"
+    return "UNKNOWN"
+
+
 def detect_orientation(ink: np.ndarray, box: Box) -> dict:
     """Block orientation (LayoutIterator.getOrientation:318-354 analog).
 

@@ -429,6 +429,24 @@ def test_dangling_media_audit(spark, corpus_small, tmp_path):
     assert a["sample"][0]["media_ref"] == victim
 
 
+def test_hierarchy_justification_column(hier):
+    """PARA rows of text blocks carry a justification from the closed
+    vocabulary; the corpus renderer left-aligns, so multi-line paras are
+    LEFT; non-PARA rows are NULL."""
+    paras = hier.where((F.col("level") == "PARA") & ~F.col("is_virtual"))
+    vocab = {r["justification"] for r in
+             paras.select("justification").distinct().collect()}
+    assert vocab <= {"LEFT", "CENTER", "RIGHT", "UNKNOWN"}
+    multi = (hier.where(F.col("level") == "TEXTLINE")
+             .groupBy("media_ref", "block_id", "para_id")
+             .count().where(F.col("count") >= 2))
+    lj = (paras.join(multi, ["media_ref", "block_id", "para_id"])
+          .select("justification").distinct().collect())
+    assert {r["justification"] for r in lj} == {"LEFT"}
+    assert hier.where((F.col("level") != "PARA")
+                      & F.col("justification").isNotNull()).count() == 0
+
+
 # -- hierarchy enrichment (I8/R3-R6 distributed) --------------------------
 
 def test_hierarchy_enrichment_columns(hier):

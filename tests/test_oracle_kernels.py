@@ -103,3 +103,33 @@ def test_span_offsets_strictly_increasing_in_docs():
         offs = [s["offset"] for s in d["spans"]]
         assert offs == sorted(offs) and len(set(offs)) == len(offs)
         assert 1 <= len(offs) <= 128
+
+
+def test_detect_justification():
+    """ParagraphJustification (PublicTypes.java:281-313 — declared in the
+    reference, never wired; implemented here) from line-box alignment."""
+    from org_dharts_dia_tesseract_spark.oracle.segment import (
+        Node, detect_justification)
+
+    def para(boxes):
+        p = Node(level="PARA", box=(0, 0, 100, 40))
+        p.children = [Node(level="TEXTLINE", box=b) for b in boxes]
+        return p
+
+    # ragged right, flush left
+    assert detect_justification(
+        para([(0, 0, 80, 10), (1, 12, 60, 22), (0, 24, 90, 34)])) == "LEFT"
+    # flush right
+    assert detect_justification(
+        para([(20, 0, 100, 10), (40, 12, 99, 22)])) == "RIGHT"
+    # centered
+    assert detect_justification(
+        para([(20, 0, 80, 10), (30, 12, 71, 22)])) == "CENTER"
+    # nothing aligned
+    assert detect_justification(
+        para([(0, 0, 50, 10), (20, 12, 100, 22), (10, 24, 80, 34)])) == "UNKNOWN"
+    # single line cannot be classified
+    assert detect_justification(para([(0, 0, 80, 10)])) == "UNKNOWN"
+    # fully justified reads LEFT (tie goes to LEFT)
+    assert detect_justification(
+        para([(0, 0, 100, 10), (0, 12, 100, 22)])) == "LEFT"
