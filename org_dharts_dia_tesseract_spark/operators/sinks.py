@@ -119,3 +119,59 @@ def merge_pages(documents: DataFrame, media: DataFrame) -> DataFrame:
                                    s["payload"].alias("payload")))
                 .alias("pages"))
             .withColumn("n_pages", F.size("pages")))
+
+
+def page_items(hierarchy: DataFrame) -> DataFrame:
+    """Materialized PageItem / PageBlock records (the examples layer's
+    record form: examples/.../PageItem.java:26-55 = (uuid, level, box);
+    PageBlock.java:26-48 adds (polyBlockType, blockOrientation)).
+
+    Two deliberate upgrades over the reference:
+    - item_id is a *deterministic* UUID (md5 of the page + id-vector laid
+      out as UUIDv8-style hex) instead of UUID.randomUUID() — random ids
+      break re-run/resume equality at scale;
+    - parent_id implements PageItem.java:27's '// TODO add notion of
+      parent item': the enclosing node's id, NULL for blocks.
+
+    BLOCK rows carry block_type + orientation columns (PageBlock); other
+    levels leave them NULL (PageItem)."""
+    lvl = F.col("level")
+    ids = {
+        "BLOCK": ["block_id"],
+        "PARA": ["block_id", "para_id"],
+        "TEXTLINE": ["block_id", "para_id", "line_id"],
+        "WORD": ["block_id", "para_id", "line_id", "word_id"],
+        "SYMBOL": ["block_id", "para_id", "line_id", "word_id", "sym_id"],
+    }
+
+    def key_of(level: str, parent: bool) -> F.Column:
+        cols = ids[level][:-1] if parent else ids[level]
+        if not cols:
+            return F.lit(None).cast("string")
+        plevel = {"PARA": "BLOCK", "TEXTLINE": "PARA", "WORD": "TEXTLINE",
+                  "SYMBOL": "WORD"}[level] if parent else level
+        h = F.md5(F.concat_ws("|", F.col("doc_id"), F.col("media_ref"),
+                              F.lit(plevel), *[F.col(c) for c in cols]))
+        return F.concat_ws(
+            "-", F.substring(h, 1, 8), F.substring(h, 9, 4),
+            F.substring(h, 13, 4), F.substring(h, 17, 4),
+            F.substring(h, 21, 12))
+
+    item_id = F.lit(None).cast("string")
+    parent_id = F.lit(None).cast("string")
+    for level in ids:
+        item_id = F.when(lvl == level, key_of(level, False)).otherwise(item_id)
+        if level != "BLOCK":
+            parent_id = F.when(lvl == level,
+                               key_of(level, True)).otherwise(parent_id)
+    is_block = lvl == "BLOCK"
+    return hierarchy.select(
+        "doc_id", "media_ref",
+        item_id.alias("item_id"),
+        parent_id.alias("parent_id"),
+        "level", "seq", "left", "top", "right", "bottom",
+        F.when(is_block, F.col("block_type")).alias("block_type"),
+        F.when(is_block, F.col("orientation")).alias("orientation"),
+        F.when(is_block, F.col("writing_direction")).alias("writing_direction"),
+        F.when(is_block, F.col("textline_order")).alias("textline_order"),
+        F.when(is_block, F.col("deskew_angle")).alias("deskew_angle"))

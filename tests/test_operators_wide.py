@@ -429,6 +429,38 @@ def test_dangling_media_audit(spark, corpus_small, tmp_path):
     assert a["sample"][0]["media_ref"] == victim
 
 
+def test_page_items_records(hier):
+    """PageItem/PageBlock record form (examples/PageItem.java:26-55,
+    PageBlock.java:26-48): deterministic uuid-shaped ids, correct parent
+    linkage, block-only type/orientation columns."""
+    import re
+    items = K.page_items(hier).cache()
+    some = items.limit(20).collect()
+    assert all(re.fullmatch(r"[0-9a-f]{8}(-[0-9a-f]{4}){3}-[0-9a-f]{12}",
+                            r["item_id"]) for r in some)
+    # ids unique; blocks have no parent, everything else does
+    assert items.count() == items.select("item_id").distinct().count()
+    assert items.where((F.col("level") == "BLOCK")
+                       & F.col("parent_id").isNotNull()).count() == 0
+    assert items.where((F.col("level") != "BLOCK")
+                       & F.col("parent_id").isNull()).count() == 0
+    # every parent_id resolves to an existing item of the level above
+    child = items.where(F.col("level") == "WORD").select(
+        F.col("parent_id").alias("item_id"))
+    lines = items.where(F.col("level") == "TEXTLINE").select("item_id")
+    assert child.distinct().exceptAll(lines).count() == 0
+    # PageBlock columns only on blocks
+    assert items.where((F.col("level") != "BLOCK")
+                       & F.col("block_type").isNotNull()).count() == 0
+    assert items.where((F.col("level") == "BLOCK")
+                       & F.col("orientation").isNull()).count() == 0
+    # deterministic: rebuilding yields the same id set
+    again = K.page_items(hier)
+    assert items.select("item_id").exceptAll(
+        again.select("item_id")).count() == 0
+    items.unpersist()
+
+
 def test_hierarchy_justification_column(hier):
     """PARA rows of text blocks carry a justification from the closed
     vocabulary; the corpus renderer left-aligns, so multi-line paras are
