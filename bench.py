@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 GEN_DIR = os.path.join(REPO, "data", "gen")
+_PROC_T0 = time.time()
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -192,8 +193,15 @@ def main() -> None:
         # and contention can only DEPRESS a measured speedup, so the best
         # round is the least-biased estimate of the plan's true scaling
         rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "4"))
+        # wall-clock budget: never let scaling rounds push total bench
+        # time past the point where an external timeout could kill us
+        # before the JSON line prints
+        budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1500"))
         scaling["rounds"] = []
         for rd in range(rounds):
+            if rd > 0 and time.time() - _PROC_T0 > budget_s:
+                scaling["budget_stop"] = True
+                break
             row = {"capacity_ratio": _quick_capacity_ratio(
                 _cores_of(lo), _cores_of(hi))}
             for master in (lo, hi):
