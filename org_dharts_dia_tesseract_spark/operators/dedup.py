@@ -7,8 +7,10 @@ Scale shapes:
   self-join per band bucket. Fan-out is bounded by bucket size, never by
   corpus size; the portable md5-derived hash keeps signatures
   deterministic across engines and runs.
-- simhash: one explode over 32 bit positions, two aggregations; near-dup
-  candidates = equal fingerprints (or Hamming<=d via band rotation).
+- simhash: one map-side-combinable groupBy for the fingerprint;
+  Hamming<=d candidates via byte-band rotation (simhash_near_dup_pairs).
+- jaccard: exact overlap computed only for LSH candidate pairs — the
+  self-join is bounded by LSH bucket sizes, not shared-word frequency.
 """
 
 from __future__ import annotations
@@ -108,29 +110,84 @@ def simhash(df: DataFrame, text_col: str = "text",
     return sums.select(id_col, fp.cast("bigint").alias("simhash"))
 
 
+def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           max_hamming: int = 3) -> DataFrame:
+    """Near-dup candidate pairs with SimHash Hamming distance <= d.
+
+    Band rotation / pigeonhole: the 32-bit fingerprint splits into
+    ceil(max_hamming)+1 >= 4 byte bands; any pair within Hamming 3 agrees
+    exactly on >= 1 band, so candidates come from a bucketed self-join on
+    (band_idx, band_value) — bounded by bucket size, never all-pairs —
+    and the exact bit_count(xor) <= d filter runs on candidates only."""
+    if not 0 <= max_hamming <= 3:
+        raise ValueError("byte-band rotation supports max_hamming in 0..3")
+    sig = simhash(df, text_col, id_col)
+    bands = sig.select(
+        id_col, "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("j"),
+                     (F.shiftright("simhash", 8 * j)
+                      .bitwiseAND(F.lit(255))).alias("bv"))
+            for j in range(4)])).alias("b")
+    ).select(id_col, "simhash", F.col("b.j").alias("j"),
+             F.col("b.bv").alias("bv"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.j") == F.col("b.j"))
+                   & (F.col("a.bv") == F.col("b.bv"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    F.col("a.simhash").alias("sa"),
+                    F.col("b.simhash").alias("sb"))
+            .distinct())
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (cand.where(ham <= max_hamming)
+            .select("id_a", "id_b", ham.cast("int").alias("hamming")))
+
+
 def jaccard_pairs(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", block_col: str | None = None,
-                  threshold: float = 0.8) -> DataFrame:
-    """Word-set Jaccard >= threshold within blocks (pass an LSH band or
-    any cheap blocking key as block_col to bound the self-join)."""
+                  threshold: float = 0.8, n_hashes: int = 8,
+                  bands: int = 4) -> DataFrame:
+    """Exact word-set Jaccard >= threshold for candidate pairs.
+
+    Default blocking is MinHash-LSH band keys: candidates are bounded by
+    LSH bucket sizes and the exact-overlap join fans out per candidate
+    pair — never on shared-word frequency, so a corpus-wide hot word
+    ('the' in en at 100 TB) cannot quadratically blow up any join key.
+    Pass block_col to override with an explicit cheap blocking key
+    (candidates then = all same-block pairs; only safe for low-cardinality
+    bounded blocks).
+
+    Recall matches the LSH candidate set: pairs sharing no band are never
+    scored (tunable via n_hashes/bands), which is the standard
+    trade — candidate recall for bounded fan-out."""
     words = (df.select(id_col,
-                       *( [block_col] if block_col else [] ),
                        F.explode(F.split(F.col(text_col), r"\s+")).alias("w"))
              .where(F.col("w") != "").distinct())
     sizes = words.groupBy(id_col).agg(F.count("*").cast("bigint").alias("n"))
-    blocks = words.join(sizes, id_col)
-    join_cond = [F.col("a.w") == F.col("b.w"),
-                 F.col(f"a.{id_col}") < F.col(f"b.{id_col}")]
     if block_col:
-        join_cond.append(F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
-    a, b = blocks.alias("a"), blocks.alias("b")
-    pairs = (a.join(b, join_cond[0] & join_cond[1]
-                    if len(join_cond) == 2
-                    else join_cond[0] & join_cond[1] & join_cond[2])
-             .groupBy(F.col(f"a.{id_col}").alias("id_a"),
-                      F.col(f"b.{id_col}").alias("id_b"))
-             .agg(F.count("*").cast("bigint").alias("common"),
-                  F.min("a.n").alias("na"), F.min("b.n").alias("nb")))
-    jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
-    return (pairs.where(jac >= threshold)
+        blk = df.select(id_col, block_col)
+        a, b = blk.alias("a"), blk.alias("b")
+        cand = (a.join(b, (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+                       & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+                .select(F.col(f"a.{id_col}").alias("id_a"),
+                        F.col(f"b.{id_col}").alias("id_b"))
+                .distinct())
+    else:
+        cand = minhash_lsh_candidates(df, text_col, id_col, n_hashes, bands)
+    wa, wb = words.alias("wa"), words.alias("wb")
+    common = (cand
+              .join(wa, F.col(f"wa.{id_col}") == F.col("id_a"))
+              .join(wb, (F.col(f"wb.{id_col}") == F.col("id_b"))
+                    & (F.col("wb.w") == F.col("wa.w")))
+              .groupBy("id_a", "id_b")
+              .agg(F.count("*").cast("bigint").alias("common")))
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    scored = (common
+              .join(sa, F.col(f"sa.{id_col}") == F.col("id_a"))
+              .join(sb, F.col(f"sb.{id_col}") == F.col("id_b")))
+    jac = F.col("common") / (F.col("sa.n") + F.col("sb.n") - F.col("common"))
+    return (scored.where(jac >= threshold)
             .select("id_a", "id_b", F.round(jac, 4).alias("jaccard")))

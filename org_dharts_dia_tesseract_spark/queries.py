@@ -603,6 +603,113 @@ def ngram_jaccard_pairs(spark, sf_dir):
             .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard")))
 
 
+@q("simhash_near_dup_pairs", f"""
+    WITH sig AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN s > 0 THEN power(2, j)::BIGINT ELSE 0 END) AS BIGINT)
+                 AS simhash
+        FROM (SELECT doc_id, j,
+                     sum(CASE WHEN (h // power(2, j)::BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS s
+              FROM (SELECT doc_id, {_h32_sql("word")} AS h FROM ({_WORDS_SQL})) wh,
+                   (SELECT unnest(generate_series(0, 31)) AS j)
+              GROUP BY doc_id, j)
+        GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, simhash, j,
+               (simhash // CAST(power(2, 8 * j) AS BIGINT)) % 256 AS bv
+        FROM sig, (SELECT unnest(generate_series(0, 3)) AS j)),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        a.simhash AS sa, b.simhash AS sb
+        FROM bands a JOIN bands b ON a.j = b.j AND a.bv = b.bv
+                                 AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sa, sb)) <= 3
+""")
+def simhash_near_dup_pairs(spark, sf_dir):
+    """SimHash near-dup candidate pairs with Hamming distance <= 3 via the
+    band-rotation (pigeonhole) trick the round-1 docstring promised: split
+    the 32-bit fingerprint into 4 byte-bands — any pair within Hamming 3
+    must agree exactly on at least one band, so the self-join runs on
+    (band_idx, band_value) bucket keys (bounded fan-out, never all-pairs)
+    and the exact bit_count(xor) filter runs on candidates only."""
+    sig = simhash32(spark, sf_dir)
+    bands = sig.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("j"),
+                     (F.shiftright("simhash", 8 * j)
+                      .bitwiseAND(F.lit(255))).alias("bv"))
+            for j in range(4)])).alias("b")
+    ).select("doc_id", "simhash", F.col("b.j").alias("j"),
+             F.col("b.bv").alias("bv"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.j") == F.col("b.j"))
+                   & (F.col("a.bv") == F.col("b.bv"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    F.col("a.simhash").alias("sa"),
+                    F.col("b.simhash").alias("sb"))
+            .distinct())
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (cand.where(ham <= 3)
+            .select("doc_a", "doc_b", ham.cast("int").alias("hamming")))
+
+
+@q("ngram_jaccard_band_blocked", f"""
+    WITH sig AS ({_MINHASH_SQL}),
+    bands AS (
+        SELECT doc_id, md5(CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR)) AS band_key
+        FROM sig
+        UNION ALL
+        SELECT doc_id, md5(CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR)) AS band_key
+        FROM sig),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band_key = b.band_key
+                                 AND a.doc_id < b.doc_id),
+    dw AS (SELECT DISTINCT doc_id, word FROM ({_WORDS_SQL})),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM dw GROUP BY doc_id),
+    common AS (
+        SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS common
+        FROM cand c
+        JOIN dw wa ON wa.doc_id = c.doc_a
+        JOIN dw wb ON wb.doc_id = c.doc_b AND wb.word = wa.word
+        GROUP BY c.doc_a, c.doc_b)
+    SELECT m.doc_a, m.doc_b,
+           round(m.common * 1.0 / (sa.n + sb.n - m.common), 4) AS jaccard
+    FROM common m
+    JOIN sizes sa ON sa.doc_id = m.doc_a
+    JOIN sizes sb ON sb.doc_id = m.doc_b
+    WHERE m.common * 1.0 / (sa.n + sb.n - m.common) >= 0.5
+""")
+def ngram_jaccard_band_blocked(spark, sf_dir):
+    """Exact word-set Jaccard computed only for MinHash-LSH candidate
+    pairs — the scale-safe shape the round-1 lang-blocked self-join is
+    not: candidate generation is bounded by LSH bucket sizes (never by
+    the frequency of 'the'), and the exact-overlap join fans out per
+    candidate pair, not per shared word."""
+    cand = minhash_lsh_pairs(spark, sf_dir)
+    dw = _words(spark, sf_dir).select("doc_id", "word").distinct()
+    sizes = dw.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n"))
+    wa, wb = dw.alias("wa"), dw.alias("wb")
+    common = (cand
+              .join(wa, F.col("wa.doc_id") == F.col("doc_a"))
+              .join(wb, (F.col("wb.doc_id") == F.col("doc_b"))
+                    & (F.col("wb.word") == F.col("wa.word")))
+              .groupBy("doc_a", "doc_b")
+              .agg(F.count("*").cast("bigint").alias("common")))
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    out = (common
+           .join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+           .join(sb, F.col("sb.doc_id") == F.col("doc_b")))
+    jac = F.col("common") / (F.col("sa.n") + F.col("sb.n") - F.col("common"))
+    return (out.where(jac >= 0.5)
+            .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard")))
+
+
 # ==========================================================================
 # F. training-data pipeline: text analysis
 # ==========================================================================
@@ -815,22 +922,71 @@ def rollup_orders_by_status(spark, sf_dir):
 
 
 @q("price_quantiles_by_segment", """
+    WITH j AS (SELECT c_mktsegment, CAST(o_totalprice AS DOUBLE) AS v
+               FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    r AS (SELECT c_mktsegment, v,
+                 CAST(row_number() OVER (PARTITION BY c_mktsegment ORDER BY v)
+                      AS BIGINT) AS rn,
+                 CAST(count(*) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS n
+          FROM j),
+    g AS (SELECT c_mktsegment, max(n) AS n,
+                 max(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.5e0) AS BIGINT) + 1 THEN v END) AS lo50,
+                 max(CASE WHEN rn = CAST(ceil(CAST(n - 1 AS DOUBLE) * 0.5e0) AS BIGINT) + 1 THEN v END) AS hi50,
+                 max(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.9e0) AS BIGINT) + 1 THEN v END) AS lo90,
+                 max(CASE WHEN rn = CAST(ceil(CAST(n - 1 AS DOUBLE) * 0.9e0) AS BIGINT) + 1 THEN v END) AS hi90
+          FROM r GROUP BY c_mktsegment)
     SELECT c_mktsegment,
-           round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
-           round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
-           CAST(count(*) AS BIGINT) AS n
-    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-    GROUP BY c_mktsegment
+           floor((lo50 + (CAST(n - 1 AS DOUBLE) * 0.5e0
+                          - floor(CAST(n - 1 AS DOUBLE) * 0.5e0))
+                  * (hi50 - lo50)) * 100 + 0.5e0) / 100 AS p50,
+           floor((lo90 + (CAST(n - 1 AS DOUBLE) * 0.9e0
+                          - floor(CAST(n - 1 AS DOUBLE) * 0.9e0))
+                  * (hi90 - lo90)) * 100 + 0.5e0) / 100 AS p90,
+           n
+    FROM g
 """)
 def price_quantiles_by_segment(spark, sf_dir):
-    """Exact interpolated percentiles (both engines: linear interp)."""
+    """Exact linear-interpolated percentiles with bit-identical arithmetic
+    on both engines.
+
+    Spark's `percentile` and DuckDB's `quantile_cont` disagree in the last
+    double bit often enough to flip a round(x,2) boundary (the one red
+    CORRECTNESS row of round 1), so both sides now compute the same
+    explicit formula over the same rank-selected values: idx = (n-1)*p,
+    v = v_lo + frac*(v_hi - v_lo), then half-up rounding spelled as
+    floor(x*100 + 0.5)/100 — every op is the same double op in the same
+    order in both engines. Exact percentiles inherently rank within the
+    group (a per-segment sort at scale); the shuffle carries only
+    (segment, price)."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
-    return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-            .groupBy("c_mktsegment")
-            .agg(F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
-                 F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90"),
-                 F.count("*").cast("bigint").alias("n")))
+    j = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+         .select("c_mktsegment", F.col("o_totalprice").cast("double").alias("v")))
+    wseg = Window.partitionBy("c_mktsegment")
+    r = (j.withColumn("rn", F.row_number().over(wseg.orderBy("v")).cast("bigint"))
+         .withColumn("n", F.count("*").over(wseg).cast("bigint")))
+
+    def idx(p):
+        return (F.col("n") - 1).cast("double") * F.lit(p)
+
+    def pick(p, hi):
+        rank = (F.ceil(idx(p)) if hi else F.floor(idx(p))).cast("bigint") + 1
+        return F.max(F.when(F.col("rn") == rank, F.col("v")))
+
+    g = (r.groupBy("c_mktsegment")
+         .agg(F.max("n").alias("n"),
+              pick(0.5, False).alias("lo50"), pick(0.5, True).alias("hi50"),
+              pick(0.9, False).alias("lo90"), pick(0.9, True).alias("hi90")))
+
+    def interp(p, lo, hi):
+        frac = idx(p) - F.floor(idx(p)).cast("double")
+        val = F.col(lo) + frac * (F.col(hi) - F.col(lo))
+        return F.floor(val * 100 + F.lit(0.5)).cast("double") / 100
+
+    return g.select("c_mktsegment",
+                    interp(0.5, "lo50", "hi50").alias("p50"),
+                    interp(0.9, "lo90", "hi90").alias("p90"),
+                    "n")
 
 
 @q("events_pivot_counts", """
