@@ -83,10 +83,16 @@ HIERARCHY_SCHEMA = T.StructType([
     T.StructField("writing_direction", T.StringType(), True),
     T.StructField("textline_order", T.StringType(), True),
     T.StructField("deskew_angle", T.FloatType(), True),
-    # WORD rows: font attributes + word predicates (R3-R5)
+    # WORD rows: font attributes + word predicates (R3-R5); all 9
+    # FontAttributes.java:28-59 fields surface as columns
     T.StructField("font_bold", T.BooleanType(), True),
+    T.StructField("font_italic", T.BooleanType(), True),
+    T.StructField("font_underlined", T.BooleanType(), True),
     T.StructField("font_monospace", T.BooleanType(), True),
+    T.StructField("font_serif", T.BooleanType(), True),
+    T.StructField("font_smallcaps", T.BooleanType(), True),
     T.StructField("font_pointsize", T.IntegerType(), True),
+    T.StructField("font_id", T.IntegerType(), True),
     T.StructField("font_name", T.StringType(), True),
     T.StructField("is_dictionary_word", T.BooleanType(), True),
     T.StructField("is_numeric_word", T.BooleanType(), True),
@@ -241,10 +247,12 @@ def analyze_documents(documents: DataFrame, media: DataFrame, *,
                 for c in ("baseline_x1", "baseline_y1",
                           "baseline_x2", "baseline_y2"):
                     f[c] = f[c].astype("Int32")
-                f["font_pointsize"] = f["font_pointsize"].astype("Int32")
-                for c in ("font_bold", "font_monospace", "is_dictionary_word",
-                          "is_numeric_word", "is_subscript", "is_superscript",
-                          "is_dropcap"):
+                for c in ("font_pointsize", "font_id"):
+                    f[c] = f[c].astype("Int32")
+                for c in ("font_bold", "font_italic", "font_underlined",
+                          "font_monospace", "font_serif", "font_smallcaps",
+                          "is_dictionary_word", "is_numeric_word",
+                          "is_subscript", "is_superscript", "is_dropcap"):
                     f[c] = f[c].astype("boolean")
                 frames.append(f)
             if frames:

@@ -1,12 +1,14 @@
 """Multimodal column operators: decode / feature-extract / resize /
 frame-sample over opaque binary payloads with typed metadata.
 
-The raw-bitmap decode path is REAL (row-major uint8 -> numpy, the same
-zero-copy byte-buffer handoff the reference uses — ImageIOHelper.
-convertImageData:249-257); codec decode (JPEG/TIFF/PNG à la
-ImageIOHelper.java:270-327) is STUBBED behind NotImplementedError because
-no imaging libraries exist in this environment — the Spark-side plumbing
-(schema, batching, partitioning) is identical either way and fully tested.
+Decode paths: raw row-major uint8 (zero-copy byte-buffer handoff, the
+reference's ImageIOHelper.convertImageData:249-257) plus REAL pure-numpy
+codecs for BMP / PNM / baseline TIFF incl. PackBits (codecs_img.py — the
+decodable subset of ImageIOHelper.java:263-327). JPEG/PNG/GIF/JP2 need
+entropy coders no library in this environment provides and stay STUBBED
+behind NotImplementedError; PDF is rejected like the reference
+(ImageIOHelper.java:278-282). The Spark-side plumbing (schema, batching,
+partitioning) is identical across all paths and fully tested.
 
 All operators are `mapInPandas` stages over Arrow batches; nothing is
 per-row Python.
@@ -22,8 +24,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..codecs_img import DECODERS, ENCODERS, sniff_codec
+
 SUPPORTED_RAW = "raw"   # row-major uint8, length == width*height*bands
-CODECS_STUBBED = ("jpeg", "png", "tiff", "gif", "bmp", "pnm", "jp2")
+CODECS_REAL = ("bmp", "pnm", "tiff")   # pure-numpy (codecs_img.py)
+CODECS_STUBBED = ("jpeg", "png", "gif", "jp2")
 DEFAULT_DPI = 96
 
 
@@ -33,12 +38,48 @@ def decode(payload: bytes, width: int, height: int, bands: int,
         arr = np.frombuffer(payload, dtype=np.uint8)
         shape = (height, width) if bands == 1 else (height, width, bands)
         return arr.reshape(shape)
+    if codec in CODECS_REAL:
+        img = DECODERS[codec](payload)
+        got_bands = 1 if img.ndim == 2 else img.shape[2]
+        if img.shape[:2] != (height, width) or got_bands != bands:
+            raise ValueError(
+                f"{codec} payload decodes to {img.shape}, metadata says "
+                f"({height}, {width}) x {bands} bands")
+        return img
     if codec in CODECS_STUBBED:
         raise NotImplementedError(
             f"codec {codec!r} requires an imaging library absent from this "
-            "environment; the raw-bitmap path exercises the same plumbing")
+            "environment; bmp/pnm/tiff are implemented in pure numpy and "
+            "exercise the same plumbing")
     # PDF is *rejected*, not stubbed (ImageIOHelper.java:278-282 throws)
     raise ValueError(f"unsupported media codec {codec!r}")
+
+
+def reencode_media(media: DataFrame, codec: str,
+                   packbits: bool = False) -> DataFrame:
+    """Re-encode raw media payloads with a real codec (bmp/pnm/tiff) —
+    the inverse of decode, used as a sink format and to drive the codec
+    decode path end-to-end through the OCR pipeline. mapInPandas per
+    Arrow batch; width/height/bands metadata is preserved."""
+    if codec not in CODECS_REAL:
+        raise ValueError(f"encodable codecs are {CODECS_REAL}, got {codec!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {f.name: [] for f in RESIZE_SCHEMA}
+            for r in pdf.itertuples(index=False):
+                img = decode(r.payload, r.width, r.height, r.bands)
+                enc = (ENCODERS["tiff"](img, packbits) if codec == "tiff"
+                       else ENCODERS[codec](img))
+                out["media_ref"].append(r.media_ref)
+                out["width"].append(r.width)
+                out["height"].append(r.height)
+                out["bands"].append(r.bands)
+                out["payload"].append(enc)
+            yield pd.DataFrame(out)
+
+    return media.select("media_ref", "width", "height", "bands",
+                        "payload").mapInPandas(run, RESIZE_SCHEMA)
 
 
 FEATURES_SCHEMA = T.StructType([

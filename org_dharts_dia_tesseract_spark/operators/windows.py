@@ -92,6 +92,28 @@ def level_text(hierarchy: DataFrame, level: str) -> DataFrame:
                 sep).alias("text")))
 
 
+FONT_ATTR_COLS = ("font_bold", "font_italic", "font_underlined",
+                  "font_monospace", "font_serif", "font_smallcaps",
+                  "font_pointsize", "font_id", "font_name")
+
+
+def level_font_attributes(hierarchy: DataFrame, level: str) -> DataFrame:
+    """getWordFontAttributes at any level (R3): word rows carry all 9
+    FontAttributes.java:28-59 fields; a higher level reports its FIRST
+    word's attributes (RecognitionResultsIterator.getWordFontAttributes:
+    100-125 delegates to the word the cursor is on — the level's first
+    word in a level sweep). min_by on seq = one map-side-combinable agg."""
+    words = hierarchy.where((F.col("level") == "WORD")
+                            & F.col("font_name").isNotNull())
+    if level == "WORD":
+        return words.select(*_PAGE, *_ID_COLS["WORD"], *FONT_ATTR_COLS)
+    keys = _PAGE + _ID_COLS[level]
+    g = (words.groupBy(*keys)
+         .agg(F.min_by(F.struct(*FONT_ATTR_COLS), F.col("seq")).alias("f")))
+    return g.select(*keys, *[F.col(f"f.{c}").alias(c)
+                             for c in FONT_ATTR_COLS])
+
+
 def level_confidence(hierarchy: DataFrame, level: str) -> DataFrame:
     """getConfidence at any level: mean of WORD confidences under the
     id-prefix (R2; word level carries the classifier scores)."""

@@ -78,10 +78,16 @@ class PageResult:
                 "writing_direction": orient["writing_direction"] if orient else None,
                 "textline_order": orient["textline_order"] if orient else None,
                 "deskew_angle": float(orient["deskew_angle"]) if orient else None,
-                # WORD-level font attributes (R3); None elsewhere
+                # WORD-level font attributes (R3): all 9 of
+                # FontAttributes.java:28-59; None elsewhere
                 "font_bold": font["bold"] if font else None,
+                "font_italic": font["italic"] if font else None,
+                "font_underlined": font["underlined"] if font else None,
                 "font_monospace": font["monospace"] if font else None,
+                "font_serif": font["serif"] if font else None,
+                "font_smallcaps": font["smallcaps"] if font else None,
                 "font_pointsize": font["pointsize"] if font else None,
+                "font_id": font["font_id"] if font else None,
                 "font_name": font["font_name"] if font else None,
                 "is_dictionary_word": getattr(n, "is_dict", None),
                 "is_numeric_word": getattr(n, "is_num", None),
@@ -135,13 +141,36 @@ class PageResult:
 
 
 def decode_payload(payload: bytes, width: int, height: int, bands: int) -> np.ndarray:
-    """Raw row-major uint8 payload -> numpy raster (the rebuild of
+    """Media payload -> numpy raster.
+
+    Raw row-major uint8 is the fast path (the rebuild of
     ImageIOHelper.convertImageData:249-257 byte-buffer handoff; zero-copy
-    from Arrow on the Spark side)."""
-    arr = np.frombuffer(payload, dtype=np.uint8)
-    if bands == 1:
-        return arr.reshape(height, width)
-    return arr.reshape(height, width, bands)
+    from Arrow on the Spark side), identified by exact length match.
+    Otherwise the payload is sniffed for a real codec (BMP/PNM/TIFF —
+    pure-numpy decoders in codecs_img.py, the decodable subset of
+    ImageIOHelper.java:263-327); PDF raises like the reference
+    (ImageIOHelper.java:278-282)."""
+    if len(payload) == width * height * bands:
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        if bands == 1:
+            return arr.reshape(height, width)
+        return arr.reshape(height, width, bands)
+    from ..codecs_img import DECODERS, sniff_codec
+    codec = sniff_codec(bytes(payload[:8]))
+    if codec == "pdf":
+        raise ValueError("PDF media is rejected, not decoded "
+                         "(ImageIOHelper.java:278-282)")
+    if codec is None:
+        raise ValueError(
+            f"payload length {len(payload)} != {width}x{height}x{bands} "
+            "and no known codec magic")
+    img = DECODERS[codec](bytes(payload))
+    got_bands = 1 if img.ndim == 2 else img.shape[2]
+    if img.shape[:2] != (height, width) or got_bands != bands:
+        raise ValueError(
+            f"{codec} payload decodes to {img.shape}, metadata says "
+            f"({height}, {width}) x {bands}")
+    return img
 
 
 def analyze_page(img: np.ndarray, psm: str = "AUTO", roi: Box | None = None,

@@ -1,0 +1,126 @@
+"""Pure-numpy image codecs (codecs_img.py): round-trips, malformed
+payloads, endianness, and the end-to-end codec path through the OCR
+pipeline (encoded payloads must produce the exact span sequences the raw
+payloads do)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from org_dharts_dia_tesseract_spark import codecs_img as C
+from org_dharts_dia_tesseract_spark.operators import extract_spans
+from org_dharts_dia_tesseract_spark.operators import multimodal as M
+from org_dharts_dia_tesseract_spark.oracle.page import decode_payload
+from org_dharts_dia_tesseract_spark.sources import corpus_tables
+
+GREY = np.random.default_rng(3).integers(0, 256, (21, 34), dtype=np.uint8)
+RGB = np.random.default_rng(4).integers(0, 256, (15, 9, 3), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("img", [GREY, RGB], ids=["grey", "rgb"])
+@pytest.mark.parametrize("codec", ["bmp", "pnm", "tiff"])
+def test_roundtrip(img, codec):
+    enc = C.ENCODERS[codec](img)
+    assert C.sniff_codec(enc) == codec
+    dec = C.DECODERS[codec](enc)
+    assert dec.shape == img.shape and (dec == img).all()
+
+
+@pytest.mark.parametrize("img", [GREY, RGB], ids=["grey", "rgb"])
+def test_tiff_packbits_roundtrip(img):
+    enc = C.encode_tiff(img, packbits=True)
+    assert (C.decode_tiff(enc) == img).all()
+
+
+def test_packbits_compresses_runs():
+    flat = np.full((4, 64), 128, dtype=np.uint8)
+    assert len(C.encode_tiff(flat, packbits=True)) < len(C.encode_tiff(flat))
+    row = np.array([1, 2, 3, 7, 7, 7, 7, 9], dtype=np.uint8)
+    assert C.packbits_decode(C.packbits_encode(row), 8) == row.tobytes()
+
+
+def test_tiff_big_endian_decode():
+    """MM (big-endian) header variant of a minimal single-strip file."""
+    img = GREY[:4, :5]
+    h, w = img.shape
+    ifd_off = 8
+    n_entries = 6
+    data_off = ifd_off + 2 + n_entries * 12 + 4
+
+    def entry(tag, typ, count, value):
+        if typ == 3:
+            return struct.pack(">HHIHH", tag, typ, count, value, 0)
+        return struct.pack(">HHII", tag, typ, count, value)
+
+    out = struct.pack(">2sHI", b"MM", 42, ifd_off)
+    out += struct.pack(">H", n_entries)
+    out += entry(256, 4, 1, w) + entry(257, 4, 1, h)
+    out += entry(259, 3, 1, 1) + entry(262, 3, 1, 1)
+    out += entry(273, 4, 1, data_off) + entry(279, 4, 1, h * w)
+    out += struct.pack(">I", 0)
+    out += img.tobytes()
+    assert (C.decode_tiff(out) == img).all()
+
+
+def test_pnm_ascii_variants():
+    asc = b"P2\n# cmt\n3 2\n255\n0 10 20\n30 40 50\n"
+    d = C.decode_pnm(asc)
+    assert d.shape == (2, 3) and d[1, 2] == 50
+    asc3 = b"P3 2 1 255 " + b" ".join(str(v).encode() for v in range(6))
+    assert C.decode_pnm(asc3).shape == (1, 2, 3)
+
+
+def test_malformed_payloads():
+    with pytest.raises(ValueError):
+        C.decode_bmp(b"XX123")
+    with pytest.raises(NotImplementedError):
+        # RLE8-compressed BMP
+        bad = bytearray(C.encode_bmp(GREY))
+        struct.pack_into("<I", bad, 30, 1)
+        C.decode_bmp(bytes(bad))
+    with pytest.raises(NotImplementedError):
+        # LZW tiff
+        bad = bytearray(C.encode_tiff(GREY))
+        # compression entry is the 4th (0-based 3): value at +8 into entry
+        off = 8 + 2 + 3 * 12 + 8
+        struct.pack_into("<H", bad, off, 5)
+        C.decode_tiff(bytes(bad))
+
+
+def test_decode_payload_sniffing():
+    """oracle decode_payload: raw by exact length, codec by magic, PDF
+    rejected, garbage raises."""
+    h, w = GREY.shape
+    assert (decode_payload(GREY.tobytes(), w, h, 1) == GREY).all()
+    for codec in ("bmp", "pnm", "tiff"):
+        enc = C.ENCODERS[codec](GREY)
+        assert (decode_payload(enc, w, h, 1) == GREY).all()
+    with pytest.raises(ValueError, match="PDF"):
+        decode_payload(b"%PDF-1.4 xxxx", w, h, 1)
+    with pytest.raises(ValueError, match="no known codec"):
+        decode_payload(b"\x01\x02\x03", w, h, 1)
+    with pytest.raises(ValueError, match="metadata"):
+        decode_payload(C.encode_bmp(GREY), w + 1, h, 1)
+
+
+def test_multimodal_decode_codecs():
+    for codec in ("bmp", "pnm", "tiff"):
+        enc = C.ENCODERS[codec](RGB)
+        assert (M.decode(enc, 9, 15, 3, codec=codec) == RGB).all()
+    with pytest.raises(NotImplementedError):
+        M.decode(b"xx", 1, 1, 1, codec="png")
+
+
+@pytest.mark.parametrize("codec", ["bmp", "tiff"])
+def test_pipeline_over_encoded_media(spark, codec):
+    """The invariant survives the codec path: spans from codec-encoded
+    payloads == spans from raw payloads, byte for byte."""
+    docs, media = corpus_tables(spark, 12)
+    raw = extract_spans(docs, media).orderBy("doc_id", "seq").collect()
+    enc = extract_spans(docs, M.reencode_media(media, codec)) \
+        .orderBy("doc_id", "seq").collect()
+    assert [tuple(r) for r in raw] == [tuple(r) for r in enc]
+    assert len(raw) > 0

@@ -537,3 +537,25 @@ def test_hierarchy_enrichment_columns(hier):
     syms = hier.where(F.col("level") == "SYMBOL").limit(20).collect()
     for r in syms:
         assert r["is_subscript"] is not None
+
+
+def test_level_font_attributes_full_surface(spark, hier):
+    """All 9 FontAttributes.java:28-59 fields surface as columns at WORD
+    level and roll up as the first word's attrs at higher levels (R3)."""
+    wf = W.level_font_attributes(hier, "WORD")
+    assert set(W.FONT_ATTR_COLS) <= set(wf.columns)
+    assert len(W.FONT_ATTR_COLS) == 9
+    rows = wf.limit(5).collect()
+    assert rows and all(r["font_name"] == "atlas-5x7" for r in rows)
+    lf = W.level_font_attributes(hier, "TEXTLINE")
+    one = lf.limit(1).collect()[0]
+    # the line reports its first word's attrs
+    first_word = (hier.where((F.col("level") == "WORD")
+                             & (F.col("doc_id") == one["doc_id"])
+                             & (F.col("media_ref") == one["media_ref"])
+                             & (F.col("block_id") == one["block_id"])
+                             & (F.col("para_id") == one["para_id"])
+                             & (F.col("line_id") == one["line_id"]))
+                  .orderBy("seq").limit(1).collect()[0])
+    for c in W.FONT_ATTR_COLS:
+        assert one[c] == first_word[c], c
