@@ -2,9 +2,10 @@
 local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
 
 Also produces the north-rule scaling evidence (sandbox stand-in for N vs
-4N executors): the flagship OCR-extraction job runs at local[8] and
-local[32] on the same input in fresh subprocesses; efficiency =
-(thr_32 / thr_8) / (32 / 8). Results are appended to BENCH.md.
+4N executors): the flagship OCR-extraction job runs at local[N] and
+local[4N] on the same input in fresh subprocesses, over several
+interleaved rounds with alternating run order; the reported efficiency =
+median over rounds of (thr_4N / thr_N) / 4. Results go to BENCH.md.
 
 Usage:
     python bench.py                      # full bench + scaling + BENCH.md
@@ -35,7 +36,12 @@ SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_DOCS", "20000"))
 
 
 def _cores_of(master: str) -> int:
-    return int(master.split("[")[1].rstrip("]"))
+    """Parallelism of a master string; local[N] -> N, anything else
+    (spark:// URLs, bare 'local') -> conservative 1 rather than crashing
+    the bench before its JSON line prints."""
+    import re
+    m = re.fullmatch(r"local\[(\d+)\]", master.strip())
+    return int(m.group(1)) if m else 1
 
 
 def _sf_label(sf_dir: str) -> str:
@@ -134,7 +140,7 @@ def worker_main(master: str) -> None:
     """One scaling measurement in a clean JVM; prints its own JSON line.
     Best-of-2 trials after a warm-up to damp co-tenant contention noise."""
     from org_dharts_dia_tesseract_spark.session import get_spark
-    cores = int(master.split("[")[1].rstrip("]"))
+    cores = _cores_of(master)
     spark = get_spark(master, app_name=f"dia-bench-{cores}",
                       shuffle_partitions=max(cores, 8))
     n_docs = SCALE_DOCS
@@ -182,17 +188,16 @@ def main() -> None:
     scaling = {}
     if SCALING:
         scaling["machine_probe"] = _machine_probe()
-        # N vs 4N defaults to 4 vs 16: the sandbox's CPU quota tops out
-        # near ~16-20 effective cores (see probe), so 8-vs-32 measures the
-        # quota ceiling, not the plan. The task brief allows any N/4N pair.
+        # N vs 4N defaults to 2 vs 8: the shared host's CPU quota tops out
+        # near ~16-20 effective cores (see probe), so both sides of a
+        # 2-vs-8 pair always fit under the quota and the ratio measures
+        # the PLAN's scaling, not the quota ceiling. The task brief allows
+        # any N/4N pair; override via SPARK_GRAFT_BENCH_MASTERS.
         masters = os.environ.get(
-            "SPARK_GRAFT_BENCH_MASTERS", "local[4],local[16]").split(",")
+            "SPARK_GRAFT_BENCH_MASTERS", "local[2],local[8]").split(",")
         lo, hi = sorted(masters, key=_cores_of)
-        ratio = _cores_of(hi) / _cores_of(lo)
-        # interleaved rounds: the shared host's quota varies by the minute
-        # and contention can only DEPRESS a measured speedup, so the best
-        # round is the least-biased estimate of the plan's true scaling
-        rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "4"))
+        ratio = max(_cores_of(hi) / _cores_of(lo), 1.0)
+        rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "5"))
         # wall-clock budget: never let scaling rounds push total bench
         # time past the point where an external timeout could kill us
         # before the JSON line prints
@@ -204,7 +209,14 @@ def main() -> None:
                 break
             row = {"capacity_ratio": _quick_capacity_ratio(
                 _cores_of(lo), _cores_of(hi))}
-            for master in (lo, hi):
+            # alternate the within-round run order so a time-varying host
+            # quota inflates half the rounds and deflates the other half —
+            # the median over rounds then cancels the drift instead of
+            # riding it (round-1 ADVICE: sequential lo-then-hi runs let a
+            # rising quota masquerade as scaling)
+            order = (lo, hi) if rd % 2 == 0 else (hi, lo)
+            row["run_order"] = list(order)
+            for master in order:
                 r = subprocess.run(
                     [sys.executable, os.path.abspath(__file__),
                      "--worker", master],
@@ -221,14 +233,19 @@ def main() -> None:
                     (row[hi]["docs_per_sec"] / row[lo]["docs_per_sec"])
                     / ratio, 3)
             scaling["rounds"].append(row)
-            if row.get("efficiency", 0) >= 0.8:
-                break   # target demonstrated; save the wall-clock
-        best = max((r for r in scaling["rounds"] if "efficiency" in r),
-                   key=lambda r: r["efficiency"], default=None)
-        if best:
+        effs = sorted(r["efficiency"] for r in scaling["rounds"]
+                      if "efficiency" in r)
+        if effs:
+            import statistics
+            med = round(statistics.median(effs), 3)
+            # the MEDIAN round is the reported one (no best-of selection);
+            # all rounds are recorded alongside it
+            rep = min((r for r in scaling["rounds"] if "efficiency" in r),
+                      key=lambda r: abs(r["efficiency"] - med))
             scaling["pair"] = [lo, hi]
-            scaling[lo], scaling[hi] = best[lo], best[hi]
-            scaling["efficiency"] = best["efficiency"]
+            scaling[lo], scaling[hi] = rep[lo], rep[hi]
+            scaling["efficiency"] = med
+            scaling["efficiency_stat"] = "median"
             scaling["all_round_efficiencies"] = [
                 r.get("efficiency") for r in scaling["rounds"]]
             scaling["round_capacity_ratios"] = [
@@ -259,41 +276,31 @@ def main() -> None:
 
 def _splice_md(result: dict, keep: str) -> None:
     """Partial refresh of BENCH.md: rewrite one half, preserve the other
-    (head = everything before '## Scaling'; scaling = that section)."""
+    (head = everything before '## Scaling'; scaling = that section).
+    The latest measurement always wins — BENCH.md is 'latest run', never
+    best-of (round-1 ADVICE: one-way ratchets turn a noisy measurement
+    into cherry-picking). With no existing file, write the full report
+    from this run."""
     path = os.path.join(REPO, "BENCH.md")
     old = None
     if os.path.exists(path):
         with open(path) as f:
-            content = f.read()
-        parts = content.split("\n## Scaling", 1)
+            parts = f.read().split("\n## Scaling", 1)
         if keep == "scaling" and len(parts) == 2:
             old = "\n## Scaling" + parts[1].rstrip() + "\n"
-            # symmetric guard: a throttled-window headline must not
-            # replace a better committed one
-            import re
-            m = re.search(r"\*\*([0-9.]+) docs/sec\*\*", parts[0])
-            if m and float(m.group(1)) >= result["ocr_docs_per_sec"]:
-                return
         elif keep == "head":
             old = parts[0].rstrip()
-    if keep == "head" and (old is None
-                           or "efficiency" not in (result.get("scaling") or {})):
-        return   # nothing usable to splice
-    if keep == "head" and os.path.exists(path):
-        # don't overwrite a better committed scaling result with a run
-        # that landed on a worse host window
-        import re
-        with open(path) as f:
-            m = re.search(r"scaling efficiency[^*]*\*\*([0-9.]+)\*\*",
-                          f.read())
-        if m and float(m.group(1)) >= result["scaling"]["efficiency"]:
-            return
+    if (keep == "head" and old is not None
+            and "efficiency" not in (result.get("scaling") or {})):
+        return   # scaling-only run measured nothing; keep the committed file
     _write_bench_md(result)
+    if old is None:
+        return   # fresh checkout: the full report from this run stands
     with open(path) as f:
         parts = f.read().split("\n## Scaling", 1)
     if keep == "scaling":
         with open(path, "w") as f:
-            f.write(parts[0].rstrip() + "\n" + (old or "\n"))
+            f.write(parts[0].rstrip() + "\n" + old)
     elif len(parts) == 2:
         with open(path, "w") as f:
             f.write(old + "\n\n## Scaling" + parts[1])
@@ -332,21 +339,25 @@ def _write_bench_md(result: dict) -> None:
             f"- {hi}: {sc[hi]['docs_per_sec']:.2f} docs/sec "
             f"({sc[hi]['elapsed']:.2f} s)",
             f"- scaling efficiency (thr_4N/thr_N)/4 = **{sc['efficiency']}** "
-            f"(target >= 0.8; best of interleaved rounds "
-            f"{sc.get('all_round_efficiencies')}, concurrent host-capacity "
-            f"ratios {sc.get('round_capacity_ratios')} — 4.0 = the host "
-            "actually grants 4x compute at 4x procs; contention only ever "
-            "depresses a measured speedup, so the best round is the "
-            "least-biased estimate)",
+            f"(target >= 0.8; MEDIAN of interleaved rounds "
+            f"{sc.get('all_round_efficiencies')} with alternating run "
+            f"order, no early stop and no best-of selection; concurrent "
+            f"host-capacity ratios {sc.get('round_capacity_ratios')} — "
+            "4.0 = the host actually grants 4x compute at 4x procs)",
             "",
-            "N=4 vs 4N=16 is the measured pair: this sandbox is a shared "
-            "host whose CPU quota tops out near ~16-20 effective cores (the "
-            "single-threaded-numpy probe below measures the capacity that "
-            "existed at run time), so an 8-vs-32 pair measures the quota "
-            "ceiling rather than the plan. The pipeline's own parallelism "
-            "(64+ independent scan partitions, no payload shuffles, single "
-            "lean exchange) is visible in `df.explain('formatted')` and "
-            "scales with whatever cores the scheduler actually grants.",
+            f"{lo} vs {hi} is the measured N-vs-4N pair: this sandbox is "
+            "a shared host whose CPU quota tops out near ~16-20 effective "
+            "cores (the single-threaded-numpy probe below measures the "
+            "capacity that existed at run time), so both sides of the "
+            "pair must fit under the quota for the ratio to measure the "
+            "plan rather than the ceiling. Within each round the two runs "
+            "execute sequentially; alternating their order across rounds "
+            "makes quota drift inflate half the rounds and deflate the "
+            "other half, which the median cancels. The pipeline's own "
+            "parallelism (64+ independent scan partitions, no payload "
+            "shuffles, single lean exchange) is visible in "
+            "`df.explain('formatted')` and scales with whatever cores the "
+            "scheduler actually grants.",
             "",
             "- machine probe (iters/s @p single-threaded procs): "
             + ", ".join(f"{probe[k]} @{k.split('_')[-1]}"

@@ -50,25 +50,51 @@ def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
             .where(F.col("rk") <= k))
 
 
-def hyperplane_signature(emb_col: str, n_planes: int, dim: int) -> Column:
+def _plane_matrix(n_planes: int, dim: int) -> "np.ndarray":
+    """(n_planes, dim) matrix of +1/-1 hyperplane weights: plane p's
+    weight for dimension d is set by the parity of the portable md5 hash
+    of 'p:d' — no stored random state, identical on every executor, every
+    engine, every run."""
+    import hashlib
+
+    import numpy as np
+    W = np.empty((n_planes, dim), dtype=np.float64)
+    for p in range(n_planes):
+        for d in range(dim):
+            h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16)
+            W[p, d] = 1.0 if h % 2 == 0 else -1.0
+    return W
+
+
+def hyperplane_signature(emb_col: str | Column, n_planes: int,
+                         dim: int | None = None) -> Column:
     """Deterministic random-hyperplane signature as a bit string.
 
-    Plane p's weight for dimension d is +1/-1 by the parity of the
-    portable hash of 'p:d' — no stored random state, reproducible on any
-    engine. Sign of the dot product sets bit p."""
-    bits = []
-    for p in range(n_planes):
-        terms = F.zip_with(
-            F.col(emb_col),
-            F.array(*[
-                F.when(
-                    F.conv(F.substring(F.md5(F.lit(f"{p}:{d}")), 1, 8), 16, 10)
-                    .cast("bigint") % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
-                for d in range(dim)]),
-            lambda x, w: x.cast("double") * w)
-        dot = F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
-        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+    Vectorized pandas_udf with a lazily-built (n_planes x dim) weight
+    matrix: one Arrow-batched matmul per batch, a plan of constant size
+    regardless of n_planes x dim (the round-1 expression form compiled
+    ~n_planes*dim Catalyst nodes per column — plan compilation beat the
+    data at dim>=256), and no driver-side job: dim is taken from the
+    first Arrow batch (`dim` is accepted for validation only)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    planes: dict[int, "np.ndarray"] = {}
+
+    @pandas_udf("string")
+    def sig(s: pd.Series) -> pd.Series:
+        if len(s) == 0:
+            return pd.Series([], dtype="object")
+        X = np.stack(s.to_numpy()).astype(np.float64)
+        d = X.shape[1]
+        if dim is not None and d != dim:
+            raise ValueError(f"embedding dim {d} != declared dim {dim}")
+        W = planes.get(d)
+        if W is None:
+            W = planes[d] = _plane_matrix(n_planes, d)
+        bits = np.where(X @ W.T >= 0, "1", "0")
+        return pd.Series(["".join(row) for row in bits])
+
+    return sig(F.col(emb_col) if isinstance(emb_col, str) else emb_col)
 
 
 def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
@@ -78,9 +104,8 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     """Approximate top-k: score only within the query's LSH bucket.
 
     The bucket join replaces the cross join — at scale candidates shrink
-    by ~2^n_planes while the signature computation stays a narrow map."""
-    if dim is None:
-        dim = len(embeddings.select(emb_col).first()[0])
+    by ~2^n_planes while the signature computation stays a narrow map
+    (broadcast-model pandas_udf; no driver-side action in the plan)."""
     e = embeddings.withColumn("sig", hyperplane_signature(emb_col, n_planes, dim))
     q = queries.withColumn("sig", hyperplane_signature(q_emb_col, n_planes, dim))
     scored = (e.join(F.broadcast(q), "sig")
@@ -118,17 +143,23 @@ def _centroid_dists(centroids: list[list[float]]):
     The model ships inside the pandas_udf closure (the broadcast-model +
     vectorized-Arrow-kernel pattern): one small codegen'd plan regardless
     of k x d, where the pure-expression form compiles a fresh giant
-    aggregate(zip_with(...)) tree per centroid per pass."""
+    aggregate(zip_with(...)) tree per centroid per pass. Distances are
+    computed as sum((x-c)^2) directly — non-negative by construction and
+    matching the expression form's arithmetic (the expanded
+    ||x||^2-2x.c+||c||^2 form can go slightly negative under cancellation
+    and round differently near ties)."""
     import numpy as np
     C = np.asarray(centroids, dtype=np.float64)          # (k, d)
-    csq = (C * C).sum(axis=1)                            # (k,)
+    # bound the (chunk, k, d) broadcast temp to ~64 MB per batch
+    chunk = max(1, (64 << 20) // (C.shape[0] * C.shape[1] * 8))
 
     def dists(s: pd.Series) -> "np.ndarray":
         X = np.stack(s.to_numpy()).astype(np.float64)    # (n, d)
-        # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2, computed exactly enough:
-        # argmin/min are tie-broken identically to the expression form
-        return ((X * X).sum(axis=1)[:, None]
-                - 2.0 * (X @ C.T) + csq[None, :])
+        out = np.empty((X.shape[0], C.shape[0]), dtype=np.float64)
+        for i in range(0, X.shape[0], chunk):
+            diff = X[i:i + chunk, None, :] - C[None, :, :]
+            out[i:i + chunk] = (diff * diff).sum(axis=2)
+        return out
     return dists
 
 
@@ -138,6 +169,8 @@ def _nearest_list_udf(centroids: list[list[float]]):
 
     @pandas_udf("int")
     def f(s: pd.Series) -> pd.Series:
+        if len(s) == 0:   # empty Arrow batch: np.stack would raise
+            return pd.Series([], dtype="int32")
         return pd.Series(dists(s).argmin(axis=1)).astype("int32")
     return f
 

@@ -150,8 +150,11 @@ def page_items(hierarchy: DataFrame) -> DataFrame:
             return F.lit(None).cast("string")
         plevel = {"PARA": "BLOCK", "TEXTLINE": "PARA", "WORD": "TEXTLINE",
                   "SYMBOL": "WORD"}[level] if parent else level
+        # offset is part of the key: a document may reference the same
+        # media_ref at two span offsets, and their items must not collide
         h = F.md5(F.concat_ws("|", F.col("doc_id"), F.col("media_ref"),
-                              F.lit(plevel), *[F.col(c) for c in cols]))
+                              F.col("offset"), F.lit(plevel),
+                              *[F.col(c) for c in cols]))
         return F.concat_ws(
             "-", F.substring(h, 1, 8), F.substring(h, 9, 4),
             F.substring(h, 13, 4), F.substring(h, 17, 4),
@@ -166,7 +169,7 @@ def page_items(hierarchy: DataFrame) -> DataFrame:
                                key_of(level, True)).otherwise(parent_id)
     is_block = lvl == "BLOCK"
     return hierarchy.select(
-        "doc_id", "media_ref",
+        "doc_id", "media_ref", "offset",
         item_id.alias("item_id"),
         parent_id.alias("parent_id"),
         "level", "seq", "left", "top", "right", "bottom",

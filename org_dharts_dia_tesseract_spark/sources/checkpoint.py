@@ -56,7 +56,7 @@ def run_checkpointed(spark: SparkSession, documents: DataFrame,
                      fail_buckets: set[int] | None = None,
                      audit: bool = True,
                      on_error: str = "dead-letter",
-                     concurrency: int = 1) -> dict:
+                     concurrency: int = 4) -> dict:
     """Run span extraction bucket-by-bucket with manifests; skips buckets
     already DONE (resume). `fail_buckets` injects failures for tests.
     `audit` records dangling media_refs (image spans whose media row is
@@ -64,10 +64,10 @@ def run_checkpointed(spark: SparkSession, documents: DataFrame,
     `on_error` defaults to 'dead-letter': a corrupt page becomes an
     in-band kind='error' span (counted per bucket in the manifest)
     instead of permanently failing its bucket on every resume.
-    `concurrency` > 1 submits that many bucket jobs at once (Spark's
-    scheduler interleaves them) — a sequential driver loop leaves the
-    cluster idle between jobs once bucket counts grow; manifests stay
-    correct because each is an atomic per-bucket rename.
+    `concurrency` (default 4) submits that many bucket jobs at once
+    (Spark's scheduler interleaves them) — a sequential driver loop
+    leaves the cluster idle between jobs once bucket counts grow;
+    manifests stay correct because each is an atomic per-bucket rename.
 
     Returns a summary dict {processed, skipped, failed}.
     """
@@ -88,6 +88,11 @@ def run_checkpointed(spark: SparkSession, documents: DataFrame,
     already = done_buckets(root)
     summary = {"processed": [], "skipped": sorted(already), "failed": []}
     lineage_id = uuid.uuid4().hex
+    # ONE job for every bucket's doc count (vs a count() job per bucket):
+    # the per-bucket loop then only runs the extraction write itself
+    bucket_docs = {r["bucket"]: r["n"] for r in
+                   docs_b.groupBy("bucket")
+                   .agg(F.count("*").alias("n")).collect()}
 
     def run_bucket(b: int) -> tuple[int, bool]:
         attempt = 1
@@ -100,7 +105,7 @@ def run_checkpointed(spark: SparkSession, documents: DataFrame,
             if fail_buckets and b in fail_buckets:
                 raise RuntimeError(f"injected failure in bucket {b}")
             part = docs_b.where(F.col("bucket") == b).drop("bucket")
-            n_docs = part.count()
+            n_docs = int(bucket_docs.get(b, 0))
             out = extract_spans(part, media, on_error=on_error)
             out_path = os.path.join(root, "data", f"bucket={b}")
             out.write.mode("overwrite").parquet(out_path)

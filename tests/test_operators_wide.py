@@ -559,3 +559,39 @@ def test_level_font_attributes_full_surface(spark, hier):
                   .orderBy("seq").limit(1).collect()[0])
     for c in W.FONT_ATTR_COLS:
         assert one[c] == first_word[c], c
+
+
+def test_lsh_topk_dim256_no_dim_arg(spark):
+    """High-dim LSH: dim inferred executor-side from the Arrow batch (no
+    driver .first() job, no giant Catalyst expression tree)."""
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(30, 256)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    qs = (emb.where(F.col("vec_id") < 2)
+          .select(F.col("vec_id").alias("q_id"),
+                  F.col("embedding").alias("q_emb")))
+    out = S.lsh_topk(emb, qs, k=3, n_planes=6)       # dim omitted entirely
+    got = out.collect()
+    assert all(r["rk"] <= 3 for r in got)
+    # bucketed candidates only: every result shares the query's signature
+    sigs = {r["vec_id"]: r["sig"] for r in
+            emb.withColumn(
+                "sig", S.hyperplane_signature("embedding", 6)).collect()}
+    qsigs = {r["q_id"]: r["sig"] for r in
+             qs.withColumn(
+                 "sig", S.hyperplane_signature("q_emb", 6)).collect()}
+    for r in got:
+        assert sigs[r["vec_id"]] == qsigs[r["q_id"]]
+    # declared-dim validation surfaces a clear executor error
+    with pytest.raises(Exception, match="dim"):
+        S.lsh_topk(emb, qs, k=3, n_planes=6, dim=64).collect()
+
+
+def test_page_items_repeated_media_distinct_ids(spark, hier):
+    """A document that references the same media_ref at two offsets must
+    produce distinct item ids (offset is part of the id hash)."""
+    twice = hier.unionByName(hier.withColumn("offset", F.col("offset") + 7))
+    items = K.page_items(twice)
+    assert items.count() == 2 * hier.count()
+    assert items.select("item_id").distinct().count() == items.count()
