@@ -63,15 +63,15 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     """Candidate near-dup pairs: docs sharing any LSH band."""
     rows_per_band = n_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, n_hashes)
-    band_frames = []
-    for b in range(bands):
-        cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
-        band_frames.append(sig.select(
-            F.col(id_col),
-            F.md5(F.concat_ws("_", F.lit(b), *cols)).alias("band_key")))
-    all_bands = band_frames[0]
-    for bf in band_frames[1:]:
-        all_bands = all_bands.unionByName(bf)
+    # ONE explode over the signature agg (a union of per-band selects
+    # would duplicate the aggregation subtree `bands` times in the plan)
+    band_keys = [
+        F.md5(F.concat_ws("_", F.lit(b),
+                          *[f"mh{b * rows_per_band + r}"
+                            for r in range(rows_per_band)]))
+        for b in range(bands)]
+    all_bands = sig.select(
+        F.col(id_col), F.explode(F.array(*band_keys)).alias("band_key"))
     a, b = all_bands.alias("a"), all_bands.alias("b")
     return (a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))

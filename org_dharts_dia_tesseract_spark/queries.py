@@ -520,11 +520,13 @@ def minhash_signatures(spark, sf_dir):
 """)
 def minhash_lsh_pairs(spark, sf_dir):
     """LSH banding: 2 bands x 2 rows; candidate pairs via band-key
-    self-join (the scale path: join fans out only within buckets)."""
+    self-join (the scale path: join fans out only within buckets).
+    Band rows come from ONE explode over the signature aggregation
+    (a union of per-band selects would duplicate the agg subtree)."""
     sig = minhash_signatures(spark, sf_dir)
-    b0 = sig.select("doc_id", F.md5(F.concat_ws("_", "mh0", "mh1")).alias("band_key"))
-    b1 = sig.select("doc_id", F.md5(F.concat_ws("_", "mh2", "mh3")).alias("band_key"))
-    bands = b0.unionByName(b1)
+    bands = sig.select("doc_id", F.explode(F.array(
+        F.md5(F.concat_ws("_", "mh0", "mh1")),
+        F.md5(F.concat_ws("_", "mh2", "mh3")))).alias("band_key"))
     a = bands.alias("a")
     b = bands.alias("b")
     return (a.join(b, (F.col("a.band_key") == F.col("b.band_key"))

@@ -133,3 +133,45 @@ def test_histogram_partial_agg(spark):
     s = P.explain_str(df, "simple")
     assert s.count("HashAggregate") >= 2
     assert P.n_exchanges(df) == 1
+
+
+def test_simhash_near_dup_plan_no_cartesian(spark):
+    """Hamming candidates come from an equi-join on (band, value) bucket
+    keys — never a cross/nested-loop join over the corpus."""
+    from org_dharts_dia_tesseract_spark.queries import spark_queries
+    df = spark_queries()["simhash_near_dup_pairs"](spark, SF)
+    s = P.explain_str(df)
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+
+
+def test_jaccard_band_blocked_plan_no_cartesian(spark):
+    """Band-blocked exact Jaccard: every join is an equi-join (band keys,
+    then candidate doc ids) — no all-pairs shape anywhere."""
+    from org_dharts_dia_tesseract_spark.queries import spark_queries
+    df = spark_queries()["ngram_jaccard_band_blocked"](spark, SF)
+    s = P.explain_str(df)
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+
+
+def test_price_quantiles_plan_broadcast_and_rank(spark):
+    """Exact percentiles: customer dim broadcasts; ranking shuffles only
+    (segment, price) pairs."""
+    from org_dharts_dia_tesseract_spark.queries import spark_queries
+    df = spark_queries()["price_quantiles_by_segment"](spark, SF)
+    assert P.has_broadcast_hash_join(df)
+    assert P.n_exchanges(df) <= 2
+
+
+def test_lsh_signature_plan_is_constant_size(spark):
+    """The pandas_udf signature keeps the Catalyst plan O(1) in
+    n_planes x dim (the round-1 expression form compiled ~12k nodes at
+    dim 768) and schedules no driver-side job at plan time."""
+    from org_dharts_dia_tesseract_spark.operators import similarity as S
+    emb = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    qs = spark.createDataFrame([], "q_id bigint, q_emb array<float>")
+    df = S.lsh_topk(emb, qs, k=3, n_planes=16)    # dim-agnostic plan
+    s = P.explain_str(df)
+    assert "ArrowEvalPython" in s or "PythonUDF" in s.replace("udf", "UDF")
+    assert len(s) < 50_000
