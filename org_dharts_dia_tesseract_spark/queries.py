@@ -585,8 +585,12 @@ def simhash32(spark, sf_dir):
     WHERE common * 1.0 / (na + nb - common) >= 0.8
 """)
 def ngram_jaccard_pairs(spark, sf_dir):
-    """1-gram Jaccard near-dup pairs, blocked by lang (blocking bounds the
-    self-join; at scale block keys come from LSH buckets)."""
+    """1-gram Jaccard near-dup pairs with an explicit low-cardinality
+    block (lang) — the small-corpus shape: the word-equality self-join
+    fans out on common words within a block, so this variant is NOT the
+    100 TB path. The scale path is `ngram_jaccard_band_blocked` (MinHash
+    band candidates, bounded fan-out), which `dedup.jaccard_pairs` uses
+    by default."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     dw = _words(spark, sf_dir).select("doc_id", "word").distinct()
     sizes = dw.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n"))
