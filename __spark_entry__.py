@@ -91,6 +91,15 @@ def _ocr_word_font_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return level_font_attributes(h, "TEXTLINE")
 
 
+def _ocr_unlv_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GetUNLVText output sink (TessAPI.java:505-512): reject '~' /
+    suspect '^' codes over the recognized hierarchy."""
+    from org_dharts_dia_tesseract_spark.operators import analyze_documents
+    from org_dharts_dia_tesseract_spark.operators.sinks import unlv_text
+    docs, media = _interleaved_corpus(spark, sf_dir, _PIPELINE_DOC_CAP)
+    return unlv_text(analyze_documents(docs, media))
+
+
 def _ocr_spans_bmp_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end span extraction over BMP-ENCODED media payloads: the
     pure-numpy codec decode path (ImageIOHelper.java:263-327 analog) under
@@ -119,7 +128,7 @@ _PRIORITY = [
     # raster pipeline gates (rows-only)
     "ocr_extract_spans", "ocr_hierarchy", "ocr_layout_only",
     "ocr_training_corpus", "ocr_annotated_pages",
-    "ocr_word_font_attrs", "ocr_spans_bmp_media",
+    "ocr_word_font_attrs", "ocr_spans_bmp_media", "ocr_unlv_text",
 ]
 
 
@@ -134,6 +143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ocr_annotated_pages"] = _ocr_annotated_pages     # rows-only (raster)
     out["ocr_word_font_attrs"] = _ocr_word_font_attrs     # rows-only (raster)
     out["ocr_spans_bmp_media"] = _ocr_spans_bmp_media     # rows-only (raster)
+    out["ocr_unlv_text"] = _ocr_unlv_text                 # rows-only (raster)
     ordered = {k: out[k] for k in _PRIORITY if k in out}
     ordered.update({k: v for k, v in out.items() if k not in ordered})
     return ordered

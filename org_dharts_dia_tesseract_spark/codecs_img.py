@@ -246,10 +246,13 @@ def encode_tiff(img: np.ndarray, packbits: bool = False) -> bytes:
         (entry(258, 3, 3, bits_off) if bands == 3 else entry(258, 3, 1, 8)),
         entry(259, 3, 1, compression),
         entry(262, 3, 1, photometric),
-        entry(273, 4, h, so_off),
+        # count*size <= 4 => the value field holds the value ITSELF, not a
+        # pointer (TIFF spec); single-strip files hit this path
+        (entry(273, 4, 1, offsets[0]) if h == 1 else entry(273, 4, h, so_off)),
         entry(277, 3, 1, bands),
         entry(278, 4, 1, 1),
-        entry(279, 4, h, sc_off),
+        (entry(279, 4, 1, len(strips[0])) if h == 1
+         else entry(279, 4, h, sc_off)),
     ]
     out = bytearray()
     out += struct.pack("<2sHI", b"II", 42, ifd_off)

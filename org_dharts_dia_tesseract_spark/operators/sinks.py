@@ -78,6 +78,43 @@ def box_text(hierarchy: DataFrame) -> DataFrame:
                          "\n", "box_text")
 
 
+def unlv_text(hierarchy: DataFrame, reject_below: float = 50.0,
+              suspect_below: float = 80.0) -> DataFrame:
+    """GetUNLVText (TessAPI.java:505-512, deprecated in the reference):
+    UNLV-format page text 'with specific reject and suspect codes' —
+    symbols below the reject confidence render as '~' (the UNLV reject
+    code), words containing any symbol below the suspect confidence are
+    prefixed '^' (the suspect marker); lines join with '\\n', Latin-1
+    unrepresentable chars degrade to '~'. Built entirely from SYMBOL rows
+    so the codes apply at the reference's granularity."""
+    syms = hierarchy.where((F.col("level") == "SYMBOL")
+                           & F.col("text").isNotNull())
+    ch = F.when(F.col("confidence") < reject_below, F.lit("~")) \
+        .otherwise(F.col("text"))
+    word_key = ["doc_id", "media_ref", "block_id", "para_id", "line_id",
+                "word_id"]
+    words = (syms
+             .groupBy(*word_key)
+             .agg(F.min("seq").alias("seq"),
+                  F.array_join(
+                      F.transform(
+                          F.array_sort(F.collect_list(
+                              F.struct("seq", ch.alias("c")))),
+                          lambda s: s["c"]), "").alias("w"),
+                  F.min("confidence").alias("min_conf")))
+    words = words.withColumn(
+        "w", F.when(F.col("min_conf") < suspect_below,
+                    F.concat(F.lit("^"), F.col("w"))).otherwise(F.col("w")))
+    line_key = ["doc_id", "media_ref", "block_id", "para_id", "line_id"]
+    lines = _ordered_join(words, line_key, "seq", "w", " ", "line_text")
+    lines = (lines
+             .withColumn("order_key",
+                         F.col("block_id") * 1_000_000
+                         + F.col("para_id") * 10_000 + F.col("line_id")))
+    return _ordered_join(lines, ["doc_id", "media_ref"], "order_key",
+                         "line_text", "\n", "unlv_text")
+
+
 def mean_text_conf(hierarchy: DataFrame) -> DataFrame:
     """MeanTextConf (TessAPI.java:514-517): int mean word confidence."""
     words = hierarchy.where((F.col("level") == "WORD")

@@ -124,3 +124,23 @@ def test_pipeline_over_encoded_media(spark, codec):
         .orderBy("doc_id", "seq").collect()
     assert [tuple(r) for r in raw] == [tuple(r) for r in enc]
     assert len(raw) > 0
+
+
+def test_codec_roundtrip_property():
+    """Property: any uint8 image (odd widths exercise BMP row padding,
+    1xN and Nx1 shapes, grey + RGB) survives every codec round-trip."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(1, 40), st.integers(1, 40),
+           st.sampled_from([1, 3]), st.integers(0, 2**32 - 1))
+    def check(w, h, bands, seed):
+        rng = np.random.default_rng(seed)
+        shape = (h, w) if bands == 1 else (h, w, bands)
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        for codec in ("bmp", "pnm", "tiff"):
+            assert (C.DECODERS[codec](C.ENCODERS[codec](img)) == img).all()
+        assert (C.decode_tiff(C.encode_tiff(img, packbits=True)) == img).all()
+
+    check()

@@ -595,3 +595,27 @@ def test_page_items_repeated_media_distinct_ids(spark, hier):
     items = K.page_items(twice)
     assert items.count() == 2 * hier.count()
     assert items.select("item_id").distinct().count() == items.count()
+
+
+def test_unlv_text_sink(hier):
+    """GetUNLVText (TessAPI.java:505-512): reject '~' replaces
+    low-confidence symbols, '^' prefixes suspect words, line structure
+    preserved."""
+    out = K.unlv_text(hier)
+    rows = out.collect()
+    assert rows and all(r["unlv_text"] for r in rows)
+    # with an impossible reject bar every symbol renders as '~'
+    allrej = K.unlv_text(hier, reject_below=101.0).first()["unlv_text"]
+    stripped = allrej.replace("~", "").replace("^", "") \
+        .replace(" ", "").replace("\n", "")
+    assert stripped == ""
+    # with no thresholds the text equals the plain word rollup per line
+    clean = K.unlv_text(hier, reject_below=0.0, suspect_below=0.0)
+    one = clean.first()
+    plain = (hier.where((F.col("level") == "WORD")
+                        & (F.col("doc_id") == one["doc_id"])
+                        & (F.col("media_ref") == one["media_ref"])
+                        & F.col("text").isNotNull())
+             .orderBy("seq").collect())
+    assert " ".join(
+        w["text"] for w in plain) == one["unlv_text"].replace("\n", " ")
