@@ -183,20 +183,22 @@ def _nearest_list(emb: Column, centroids: list[list[float]]) -> Column:
 def kmeans_centroids(embeddings: DataFrame, n_lists: int = 8,
                      n_iters: int = 3, id_col: str = "vec_id",
                      emb_col: str = "embedding",
-                     init_sample: int = 2048) -> list[list[float]]:
-    """Deterministic Lloyd k-means. Init = farthest-first traversal
-    (k-center) over a deterministic hash-ordered sample, run driver-side
-    in numpy: seed 0 is the lowest-id sampled vector, each next seed
-    maximizes its distance to the chosen set (ties -> lowest id). ONE
-    distributed pass fetches the sample (vs k sequential argmax jobs —
-    per-job fixed overhead dominated training time); when the corpus is
-    no larger than the sample, the init is exact farthest-first. Each
-    Lloyd iteration is one distributed pass; only the (n_lists x dim)
-    model ever reaches the driver. Empty lists keep their previous
-    centroid."""
+                     init_sample: int = 8192) -> list[list[float]]:
+    """Deterministic sample-trained Lloyd k-means (the standard IVF
+    training shape: faiss trains its coarse quantizer on a bounded
+    sample, then assigns the full corpus).
+
+    ONE distributed job fetches a deterministic hash-ordered sample of
+    `init_sample` vectors; init = farthest-first traversal (k-center:
+    seed 0 is the lowest-id sampled vector, each next seed maximizes
+    distance to the chosen set, ties -> lowest id) and all Lloyd
+    iterations run driver-side in numpy over that sample. At 10^12 rows
+    this costs ZERO full-corpus passes for training — only `ivf_assign`
+    touches the corpus, as a narrow broadcast-model map. Empty clusters
+    keep their previous centroid; assignment tie-break = first index,
+    matching `_nearest_list`'s argmin."""
     import numpy as np
-    embeddings = embeddings.select(id_col, emb_col).cache()
-    sample = (embeddings
+    sample = (embeddings.select(id_col, emb_col)
               .orderBy(F.xxhash64(F.col(id_col).cast("string")), id_col)
               .limit(init_sample)
               .orderBy(id_col).collect())
@@ -207,23 +209,15 @@ def kmeans_centroids(embeddings: DataFrame, n_lists: int = 8,
         nxt = int(np.argmax(d_min))            # first index == lowest id
         seeds.append(nxt)
         d_min = np.minimum(d_min, ((X - X[nxt]) ** 2).sum(axis=1))
-    centroids = [list(map(float, X[i])) for i in seeds]
-    dim = len(centroids[0])
+    C = X[seeds].copy()                        # (k, d)
     for _ in range(n_iters):
-        assigned = embeddings.select(
-            _nearest_list(F.col(emb_col), centroids).alias("list_id"),
-            F.col(emb_col).alias("_e"))
-        # per-dimension avg columns: map-side combinable, no 64x explode
-        means = (assigned.groupBy("list_id")
-                 .agg(*[F.avg(F.col("_e")[d].cast("double")).alias(f"m{d}")
-                        for d in range(dim)])
-                 .collect())
-        new = [list(c) for c in centroids]
-        for r in means:
-            new[r["list_id"]] = [float(r[f"m{d}"]) for d in range(dim)]
-        centroids = new
-    embeddings.unpersist()
-    return centroids
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)              # first-index tie-break
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return [list(map(float, c)) for c in C]
 
 
 def ivf_assign(embeddings: DataFrame, centroids: list[list[float]],

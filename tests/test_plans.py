@@ -175,3 +175,23 @@ def test_lsh_signature_plan_is_constant_size(spark):
     s = P.explain_str(df)
     assert "ArrowEvalPython" in s or "PythonUDF" in s.replace("udf", "UDF")
     assert len(s) < 50_000
+
+
+def test_ivf_index_partition_pruning(spark, tmp_path_factory):
+    """The IVF scale path: the index written partitionBy(list_id) prunes
+    at the parquet scan when probing — only nprobe/n_lists of the corpus
+    is ever read."""
+    import numpy as np
+    from org_dharts_dia_tesseract_spark.operators import similarity as S
+    rng = np.random.default_rng(21)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(64)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    cents = S.kmeans_centroids(emb, n_lists=4, n_iters=1)
+    idx_path = str(tmp_path_factory.mktemp("ivf") / "index")
+    S.ivf_assign(emb, cents).write.partitionBy("list_id").parquet(idx_path)
+    probe = spark.read.parquet(idx_path).where(F.col("list_id").isin([0, 1]))
+    s = P.explain_str(probe)
+    assert "PartitionFilters" in s and "list_id" in s
+    # pruning is real: fewer files read than the full index
+    full = spark.read.parquet(idx_path)
+    assert probe.count() < full.count()
