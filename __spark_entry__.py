@@ -125,6 +125,7 @@ _PRIORITY = [
     "price_quantiles_by_segment",
     # new this round
     "simhash_near_dup_pairs", "ngram_jaccard_band_blocked",
+    "winnow_fingerprints",
     # raster pipeline gates (rows-only)
     "ocr_extract_spans", "ocr_hierarchy", "ocr_layout_only",
     "ocr_training_corpus", "ocr_annotated_pages",

@@ -796,6 +796,46 @@ def token_count(spark, sf_dir):
          .cast("bigint").alias("bpe_ish_tokens"))
 
 
+@q("winnow_fingerprints", """
+    WITH g AS (
+      SELECT doc_id,
+             CASE WHEN length(text) >= 4 THEN
+               list_transform(generate_series(1, length(text) - 3),
+                   i -> CAST('0x' || substr(md5(substr(text, CAST(i AS INT), 4)), 1, 8) AS BIGINT))
+             ELSE [] END AS h
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN len(h) >= 4 THEN
+             list_sort(list_distinct(
+               list_transform(generate_series(0, len(h) - 4),
+                   j -> list_min(h[CAST(j + 1 AS INT):CAST(j + 4 AS INT)]))))
+           ELSE [] END AS fps
+    FROM g
+""")
+def winnow_fingerprints(spark, sf_dir):
+    """Winnowing document fingerprints (the rolling-hash family): hash
+    every character 4-gram with the portable rolling window, keep the
+    minimum per 4-hash window, emit the distinct sorted set — the
+    Schleimer/Wilkerson/Aiken winnowing scheme used for near-dup and
+    plagiarism detection. Entirely higher-order array functions: a
+    narrow map, no shuffle, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.when(
+        F.length("text") >= 4,
+        F.transform(
+            F.sequence(F.lit(1), F.length("text") - 3),
+            lambda i: _h32(F.substr(F.col("text"), i, F.lit(4))))
+    ).otherwise(F.array().cast("array<bigint>"))
+    d = docs.withColumn("h", h)
+    fps = F.when(
+        F.size("h") >= 4,
+        F.array_sort(F.array_distinct(F.transform(
+            F.sequence(F.lit(0), F.size("h") - 4),
+            lambda j: F.array_min(F.slice("h", j + 1, 4)))))
+    ).otherwise(F.array().cast("array<bigint>"))
+    return d.select("doc_id", fps.alias("fps"))
+
+
 @q("doc_fingerprint", """
     SELECT doc_id,
            md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS fingerprint

@@ -19,25 +19,26 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def _canon_val(v) -> str:
+    import numpy as np
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(_canon_val(x) for x in v) + "]"
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "<null>"
+    if isinstance(v, float):
+        return f"{v:.6g}"
+    if isinstance(v, bool):
+        return str(bool(v))
+    if hasattr(v, "item"):   # numpy scalar
+        item = v.item()
+        return f"{item:.6g}" if isinstance(item, float) else str(item)
+    return str(v)
+
+
 def _canon(df: pd.DataFrame) -> list[tuple]:
     df = df[sorted(df.columns)]
-    rows = []
-    for tup in df.itertuples(index=False):
-        row = []
-        for v in tup:
-            if v is None or (isinstance(v, float) and math.isnan(v)):
-                row.append("<null>")
-            elif isinstance(v, float):
-                row.append(f"{v:.6g}")
-            elif isinstance(v, (bool,)):
-                row.append(str(bool(v)))
-            elif hasattr(v, "item"):   # numpy scalar
-                item = v.item()
-                row.append(f"{item:.6g}" if isinstance(item, float) else str(item))
-            else:
-                row.append(str(v))
-        rows.append(tuple(row))
-    return sorted(rows)
+    return sorted(tuple(_canon_val(v) for v in tup)
+                  for tup in df.itertuples(index=False))
 
 
 def compare(spark_df, con, sql: str, name: str = "?") -> None:
