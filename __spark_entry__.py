@@ -100,6 +100,14 @@ def _ocr_unlv_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unlv_text(analyze_documents(docs, media))
 
 
+def _ocr_page_osd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-way page orientation & script detection (PSM OSD_ONLY/AUTO_OSD:
+    rotation-confidence argmax, PublicTypes.java:66-71)."""
+    from org_dharts_dia_tesseract_spark.operators import page_osd
+    docs, media = _interleaved_corpus(spark, sf_dir, 200)
+    return page_osd(docs, media)
+
+
 def _ocr_spans_bmp_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end span extraction over BMP-ENCODED media payloads: the
     pure-numpy codec decode path (ImageIOHelper.java:263-327 analog) under
@@ -130,6 +138,7 @@ _PRIORITY = [
     "ocr_extract_spans", "ocr_hierarchy", "ocr_layout_only",
     "ocr_training_corpus", "ocr_annotated_pages",
     "ocr_word_font_attrs", "ocr_spans_bmp_media", "ocr_unlv_text",
+    "ocr_page_osd",
 ]
 
 
@@ -145,6 +154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ocr_word_font_attrs"] = _ocr_word_font_attrs     # rows-only (raster)
     out["ocr_spans_bmp_media"] = _ocr_spans_bmp_media     # rows-only (raster)
     out["ocr_unlv_text"] = _ocr_unlv_text                 # rows-only (raster)
+    out["ocr_page_osd"] = _ocr_page_osd                   # rows-only (raster)
     ordered = {k: out[k] for k in _PRIORITY if k in out}
     ordered.update({k: v for k, v in out.items() if k not in ordered})
     return ordered

@@ -1,3 +1,3 @@
-from .extract import analyze_documents, extract_spans
+from .extract import analyze_documents, extract_spans, page_osd
 
-__all__ = ["analyze_documents", "extract_spans"]
+__all__ = ["analyze_documents", "extract_spans", "page_osd"]

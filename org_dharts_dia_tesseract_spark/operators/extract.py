@@ -212,6 +212,42 @@ def extract_spans(documents: DataFrame, media: DataFrame, *,
             .select("doc_id", "seq", "kind", "text", "media_ref"))
 
 
+OSD_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("media_ref", T.StringType(), False),
+    T.StructField("orientation", T.StringType(), False),
+    T.StructField("rotation_degrees", T.IntegerType(), False),
+    T.StructField("osd_confidence", T.FloatType(), False),
+    T.StructField("script", T.StringType(), False),
+])
+
+
+def page_osd(documents: DataFrame, media: DataFrame, *,
+             broadcast_media: bool = False) -> DataFrame:
+    """Page-level orientation & script detection (PSM OSD_ONLY /
+    AUTO_OSD): one row per page with the rotation-confidence argmax OSD
+    verdict. Same partitioning as the OCR stage (per-page rows; payloads
+    never shuffle)."""
+    rows = _joined_images(documents, media, broadcast_media)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..oracle.page import decode_payload, detect_page_osd
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in OSD_SCHEMA}
+            for r in pdf.itertuples(index=False):
+                img = decode_payload(r.payload, r.width, r.height, r.bands)
+                osd = detect_page_osd(img)
+                out["doc_id"].append(r.doc_id)
+                out["media_ref"].append(r.media_ref)
+                out["orientation"].append(osd["orientation"])
+                out["rotation_degrees"].append(osd["rotation_degrees"])
+                out["osd_confidence"].append(osd["osd_confidence"])
+                out["script"].append(osd["script"])
+            yield pd.DataFrame(out)
+
+    return rows.mapInPandas(run, OSD_SCHEMA)
+
+
 def analyze_documents(documents: DataFrame, media: DataFrame, *,
                       psm: str = "AUTO", recognize: bool = True,
                       whitelist: str | None = None,

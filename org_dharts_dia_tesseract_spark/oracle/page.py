@@ -212,6 +212,43 @@ def analyze_page(img: np.ndarray, psm: str = "AUTO", roi: Box | None = None,
                       recognized=recognize)
 
 
+_OSD_ORIENT = {0: "UP", 90: "RIGHT", 180: "DOWN", 270: "LEFT"}
+
+
+def detect_page_osd(img: np.ndarray, max_words: int = 24) -> dict:
+    """Page-level orientation & script detection (the OSD_ONLY/AUTO_OSD
+    page-seg modes, PublicTypes.java:66-71): analyze the page at all four
+    90-degree rotations and keep the one whose recognition confidence is
+    highest — the rotation-confidence argmax strategy Tesseract's OSD
+    uses. Deterministic tie-break: the earliest rotation in (0, 90, 180,
+    270) wins on equal score.
+
+    Returns {orientation, rotation_degrees, osd_confidence, script}:
+    rotation_degrees is the anticlockwise rotation that uprights the
+    text; orientation labels it per the reference's Orientation enum
+    (PublicTypes.java:223-234). script is the loaded atlas name (a single
+    deterministic glyph set stands in for Tesseract's script packs)."""
+    best = None
+    for k in range(4):
+        rot = np.ascontiguousarray(np.rot90(img, k)) if k else img
+        try:
+            res = analyze_page(rot, psm="AUTO")
+        except Exception:   # degenerate rotation (e.g. blank crop)
+            continue
+        confs = [w.confidence
+                 for blk in res.blocks if blk.block_type in TEXT_KINDS
+                 for para in blk.children for line in para.children
+                 for w in line.children if w.confidence is not None]
+        score = float(np.mean(confs[:max_words])) if confs else 0.0
+        if best is None or score > best["osd_confidence"]:
+            best = {"orientation": _OSD_ORIENT[k * 90],
+                    "rotation_degrees": k * 90,
+                    "osd_confidence": score,
+                    "script": "atlas-5x7"}
+    return best or {"orientation": "UP", "rotation_degrees": 0,
+                    "osd_confidence": 0.0, "script": "atlas-5x7"}
+
+
 def document_spans(doc: dict, media_lookup, psm: str = "AUTO") -> list[dict]:
     """Oracle for the flagship query: interleaved doc -> ordered spans.
 

@@ -619,3 +619,24 @@ def test_unlv_text_sink(hier):
              .orderBy("seq").collect())
     assert " ".join(
         w["text"] for w in plain) == one["unlv_text"].replace("\n", " ")
+
+
+def test_page_osd_detects_rotations(spark):
+    """Real 4-way OSD: rotated page payloads are detected with the right
+    rotation and the upright page scores highest confidence."""
+    import numpy as np
+    from org_dharts_dia_tesseract_spark.oracle.page import detect_page_osd
+    img = datagen.fixture_page("simple_poetry")
+    for k, expect in enumerate(("UP", "RIGHT", "DOWN", "LEFT")):
+        # payload rotated k*90 clockwise needs k*90 anticlockwise to upright
+        rot = np.ascontiguousarray(np.rot90(img, -k))
+        osd = detect_page_osd(rot)
+        assert osd["rotation_degrees"] == k * 90, (k, osd)
+        assert osd["orientation"] == expect
+        assert osd["osd_confidence"] > 50
+    # distributed twin over the corpus (all pages upright by construction)
+    from org_dharts_dia_tesseract_spark.operators import page_osd
+    docs_df, media_df = corpus_tables(spark, 8)
+    rows = page_osd(docs_df, media_df).collect()
+    assert rows and all(r["orientation"] == "UP"
+                        and r["rotation_degrees"] == 0 for r in rows)
