@@ -108,6 +108,17 @@ def _ocr_page_osd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return page_osd(docs, media)
 
 
+def _ocr_tiff_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level multi-page TIFF merge sink (ImageIOHelper.mergeTiff:
+    336-371): per-doc page count + encoded size (blob dropped for the
+    row check)."""
+    from org_dharts_dia_tesseract_spark.operators.sinks import merge_tiff
+    docs, media = _interleaved_corpus(spark, sf_dir, 200)
+    return (merge_tiff(docs, media)
+            .select("doc_id", "n_pages",
+                    F.length("tiff").alias("tiff_bytes")))
+
+
 def _ocr_spans_bmp_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end span extraction over BMP-ENCODED media payloads: the
     pure-numpy codec decode path (ImageIOHelper.java:263-327 analog) under
@@ -138,7 +149,7 @@ _PRIORITY = [
     "ocr_extract_spans", "ocr_hierarchy", "ocr_layout_only",
     "ocr_training_corpus", "ocr_annotated_pages",
     "ocr_word_font_attrs", "ocr_spans_bmp_media", "ocr_unlv_text",
-    "ocr_page_osd",
+    "ocr_page_osd", "ocr_tiff_merge",
 ]
 
 
@@ -155,6 +166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ocr_spans_bmp_media"] = _ocr_spans_bmp_media     # rows-only (raster)
     out["ocr_unlv_text"] = _ocr_unlv_text                 # rows-only (raster)
     out["ocr_page_osd"] = _ocr_page_osd                   # rows-only (raster)
+    out["ocr_tiff_merge"] = _ocr_tiff_merge               # rows-only (raster)
     ordered = {k: out[k] for k in _PRIORITY if k in out}
     ordered.update({k: v for k, v in out.items() if k not in ordered})
     return ordered

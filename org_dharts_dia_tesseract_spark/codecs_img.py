@@ -280,6 +280,7 @@ def _tiff_values(data: bytes, endian: str, typ: int, count: int,
 
 
 def decode_tiff(data: bytes) -> np.ndarray:
+    """First (or only) page of a TIFF payload."""
     if data[:2] == b"II":
         endian = "<"
     elif data[:2] == b"MM":
@@ -287,6 +288,10 @@ def decode_tiff(data: bytes) -> np.ndarray:
     else:
         raise ValueError("not a TIFF payload")
     ifd_off = struct.unpack_from(f"{endian}I", data, 4)[0]
+    return _decode_tiff_ifd(data, endian, ifd_off)
+
+
+def _decode_tiff_ifd(data: bytes, endian: str, ifd_off: int) -> np.ndarray:
     n = struct.unpack_from(f"{endian}H", data, ifd_off)[0]
     tags: dict[str, list[int]] = {}
     for i in range(n):
@@ -319,6 +324,69 @@ def decode_tiff(data: bytes) -> np.ndarray:
     if tags.get("photometric", [1])[0] == 0:          # WhiteIsZero
         img = 255 - img
     return np.ascontiguousarray(img)
+
+
+def encode_tiff_multipage(pages: list[np.ndarray],
+                          packbits: bool = False) -> bytes:
+    """Multi-page TIFF: per-page single-IFD files concatenated (header
+    kept once) with every intra-file offset rebased and the IFDs linked
+    through the `next` pointer chain — the layout
+    ImageIOHelper.createTiffFiles:74-123 splits back into page files."""
+    if not pages:
+        raise ValueError("multi-page TIFF needs at least one page")
+    blobs = [encode_tiff(p, packbits) for p in pages]
+    # page i's bytes land at `starts[i]`; for i>0 the 8-byte header is
+    # dropped, so an in-blob offset X maps to X + starts[i] - 8
+    starts, pos = [], 0
+    for i, blob in enumerate(blobs):
+        starts.append(pos)
+        pos += len(blob) if i == 0 else len(blob) - 8
+    bases = [starts[i] - (0 if i == 0 else 8) for i in range(len(blobs))]
+    out = bytearray()
+    for i, blob in enumerate(blobs):
+        b = bytearray(blob)
+        base = bases[i]
+        ifd_off = struct.unpack_from("<I", b, 4)[0]
+        n = struct.unpack_from("<H", b, ifd_off)[0]
+        for j in range(n):
+            e0 = ifd_off + 2 + j * 12
+            tag, typ, count = struct.unpack_from("<HHI", b, e0)
+            if _TYPE_SIZE.get(typ, 1) * count > 4:   # pointer value field
+                ptr = struct.unpack_from("<I", b, e0 + 8)[0]
+                if tag == 273:   # strip offsets array: rebase each entry
+                    for s in range(count):
+                        v = struct.unpack_from("<I", b, ptr + 4 * s)[0]
+                        struct.pack_into("<I", b, ptr + 4 * s, v + base)
+                struct.pack_into("<I", b, e0 + 8, ptr + base)
+            elif tag == 273:     # inline single strip offset
+                v = struct.unpack_from("<I", b, e0 + 8)[0]
+                struct.pack_into("<I", b, e0 + 8, v + base)
+        nxt = (struct.unpack_from("<I", blobs[i + 1], 4)[0] + bases[i + 1]
+               if i + 1 < len(blobs) else 0)
+        struct.pack_into("<I", b, ifd_off + 2 + n * 12, nxt)
+        out += b if i == 0 else b[8:]
+    return bytes(out)
+
+
+def decode_tiff_pages(data: bytes) -> list[np.ndarray]:
+    """All pages of a (possibly multi-page) TIFF, following the IFD
+    chain — the decode side of the reference's multi-page split
+    (ImageIOHelper.createTiffFiles:74-123: one document = one page
+    sequence)."""
+    if data[:2] == b"II":
+        endian = "<"
+    elif data[:2] == b"MM":
+        endian = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    pages = []
+    ifd_off = struct.unpack_from(f"{endian}I", data, 4)[0]
+    while ifd_off:
+        pages.append(_decode_tiff_ifd(data, endian, ifd_off))
+        n = struct.unpack_from(f"{endian}H", data, ifd_off)[0]
+        ifd_off = struct.unpack_from(f"{endian}I", data,
+                                     ifd_off + 2 + n * 12)[0]
+    return pages
 
 
 DECODERS = {"bmp": decode_bmp, "pnm": decode_pnm, "tiff": decode_tiff}

@@ -149,6 +149,44 @@ def resize(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
     return media.mapInPandas(run, RESIZE_SCHEMA)
 
 
+def split_tiff_pages(media: DataFrame) -> DataFrame:
+    """Multi-page TIFF split (ImageIOHelper.createTiffFiles:74-123:
+    1 file -> N page files, index=-1 => all): rows whose payload is a
+    multi-page TIFF explode into one row per page (media_ref gains a
+    '#p<i>' suffix, payload becomes the page's raw raster); every other
+    row passes through unchanged. mapInPandas, 1:N within the batch."""
+    from ..codecs_img import decode_tiff_pages, sniff_codec
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {f.name: [] for f in RESIZE_SCHEMA}
+
+            def emit(ref, w, h, b, payload):
+                out["media_ref"].append(ref)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["bands"].append(b)
+                out["payload"].append(payload)
+
+            for r in pdf.itertuples(index=False):
+                pay = bytes(r.payload)
+                if (len(pay) != r.width * r.height * r.bands
+                        and sniff_codec(pay[:8]) == "tiff"):
+                    pages = decode_tiff_pages(pay)
+                    if len(pages) > 1:
+                        for i, img in enumerate(pages):
+                            h, w = img.shape[:2]
+                            b = 1 if img.ndim == 2 else img.shape[2]
+                            emit(f"{r.media_ref}#p{i}", w, h, b,
+                                 img.tobytes())
+                        continue
+                emit(r.media_ref, r.width, r.height, r.bands, r.payload)
+            yield pd.DataFrame(out)
+
+    return media.select("media_ref", "width", "height", "bands",
+                        "payload").mapInPandas(run, RESIZE_SCHEMA)
+
+
 def frame_sample(documents: DataFrame, media: DataFrame,
                  every_k: int = 2) -> DataFrame:
     """Video-style frame sampling: a document's image spans are its frame

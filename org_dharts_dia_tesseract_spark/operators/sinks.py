@@ -149,13 +149,47 @@ def merge_pages(documents: DataFrame, media: DataFrame) -> DataFrame:
             .agg(F.transform(
                 F.array_sort(F.collect_list(
                     F.struct("offset", "media_ref", "width", "height",
-                             "payload"))),
+                             "bands", "payload"))),
                 lambda s: F.struct(s["media_ref"].alias("media_ref"),
                                    s["width"].alias("width"),
                                    s["height"].alias("height"),
+                                   s["bands"].alias("bands"),
                                    s["payload"].alias("payload")))
                 .alias("pages"))
             .withColumn("n_pages", F.size("pages")))
+
+
+def merge_tiff(documents: DataFrame, media: DataFrame,
+               packbits: bool = False) -> DataFrame:
+    """Byte-level TIFF merge (ImageIOHelper.mergeTiff:336-371): each
+    document's page images, in span order, become ONE multi-page TIFF
+    blob (linked IFD chain) — the true sink format of S3, on top of the
+    record-form merge_pages. mapInPandas over the per-doc page arrays."""
+    from pyspark.sql import types as T
+
+    from ..codecs_img import encode_tiff_multipage
+    from ..oracle.page import decode_payload
+    merged = merge_pages(documents, media)
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("n_pages", T.IntegerType(), False),
+        T.StructField("tiff", T.BinaryType(), False),
+    ])
+
+    def run(batches):
+        import pandas as pd
+        for pdf in batches:
+            out = {"doc_id": [], "n_pages": [], "tiff": []}
+            for r in pdf.itertuples(index=False):
+                imgs = [decode_payload(p["payload"], p["width"],
+                                       p["height"], p["bands"])
+                        for p in r.pages]
+                out["doc_id"].append(r.doc_id)
+                out["n_pages"].append(len(imgs))
+                out["tiff"].append(encode_tiff_multipage(imgs, packbits))
+            yield pd.DataFrame(out)
+
+    return merged.mapInPandas(run, schema)
 
 
 def page_items(hierarchy: DataFrame) -> DataFrame:
