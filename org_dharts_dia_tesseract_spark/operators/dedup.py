@@ -91,44 +91,62 @@ def minhash_dedup(df: DataFrame, text_col: str = "text",
 
 
 def simhash(df: DataFrame, text_col: str = "text",
-            id_col: str = "doc_id") -> DataFrame:
-    """32-bit SimHash fingerprint per document.
+            id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """SimHash fingerprint per document (32- or 64-bit).
 
-    Single groupBy with 32 vote-sum columns: map-side combinable, one
-    shuffle, no 32x bit-explode of the word stream."""
+    Single groupBy with `bits` vote-sum columns: map-side combinable,
+    one shuffle, no bits-x explode of the word stream. bits=32 uses the
+    portable md5-derived hash (cross-engine parity with the SQL oracle);
+    bits=64 uses xxhash64 (JVM-side, the 10^12-doc width — Manku et al.,
+    WWW'07 use 64-bit fingerprints). The 64-bit fingerprint is stored in
+    a signed bigint via two's complement (bit 63 contributes -2^63)."""
+    if bits not in (32, 64):
+        raise ValueError("simhash supports bits=32 or bits=64")
     wh = (df.select(id_col,
                     F.explode(F.split(F.col(text_col), r"\s+")).alias("w"))
-          .where(F.col("w") != "")
-          .select(id_col, _h32(F.col("w")).alias("h")))
-    votes = [F.sum(F.when(F.expr(f"shiftright(h, {j}) % 2") == 1, 1)
-                   .otherwise(-1)).alias(f"s{j}") for j in range(32)]
+          .where(F.col("w") != ""))
+    h = _h32(F.col("w")) if bits == 32 else F.xxhash64("w")
+    wh = wh.select(id_col, h.alias("h"))
+    votes = [F.sum(F.when(
+        F.expr(f"shiftrightunsigned(h, {j}) % 2") == 1, 1)
+        .otherwise(-1)).alias(f"s{j}") for j in range(bits)]
     sums = wh.groupBy(id_col).agg(*votes)
     fp = None
-    for j in range(32):
-        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(0)
+    for j in range(bits):
+        one = F.lit(-(1 << 63)) if j == 63 else F.lit(1 << j)
+        term = F.when(F.col(f"s{j}") > 0, one).otherwise(0)
         fp = term if fp is None else fp + term
     return sums.select(id_col, fp.cast("bigint").alias("simhash"))
 
 
 def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id",
-                           max_hamming: int = 3) -> DataFrame:
+                           max_hamming: int = 3,
+                           bits: int = 32) -> DataFrame:
     """Near-dup candidate pairs with SimHash Hamming distance <= d.
 
-    Band rotation / pigeonhole: the 32-bit fingerprint splits into
-    ceil(max_hamming)+1 >= 4 byte bands; any pair within Hamming 3 agrees
-    exactly on >= 1 band, so candidates come from a bucketed self-join on
-    (band_idx, band_value) — bounded by bucket size, never all-pairs —
-    and the exact bit_count(xor) <= d filter runs on candidates only."""
+    Band rotation / pigeonhole: the fingerprint splits into 4 bands; any
+    pair within Hamming 3 agrees exactly on >= 1 band, so candidates come
+    from a bucketed self-join on (band_idx, band_value) and the exact
+    bit_count(xor) <= d filter runs on candidates only.
+
+    Bucket-size bound scales with band WIDTH: bits=32 gives 8-bit bands
+    (256 values — fine at millions of docs, quadratic buckets at 10^12);
+    bits=64 gives 16-bit bands (65,536 values), the Manku et al. WWW'07
+    shape for web-scale corpora. Past that, permuted-table sorted-run
+    detection replaces the self-join — out of scope here but the banding
+    below is its first stage."""
     if not 0 <= max_hamming <= 3:
-        raise ValueError("byte-band rotation supports max_hamming in 0..3")
-    sig = simhash(df, text_col, id_col)
+        raise ValueError("4-band rotation supports max_hamming in 0..3")
+    band_bits = bits // 4
+    mask = (1 << band_bits) - 1
+    sig = simhash(df, text_col, id_col, bits=bits)
     bands = sig.select(
         id_col, "simhash",
         F.explode(F.array(*[
             F.struct(F.lit(j).alias("j"),
-                     (F.shiftright("simhash", 8 * j)
-                      .bitwiseAND(F.lit(255))).alias("bv"))
+                     (F.shiftrightunsigned("simhash", band_bits * j)
+                      .bitwiseAND(F.lit(mask))).alias("bv"))
             for j in range(4)])).alias("b")
     ).select(id_col, "simhash", F.col("b.j").alias("j"),
              F.col("b.bv").alias("bv"))

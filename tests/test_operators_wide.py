@@ -640,3 +640,22 @@ def test_page_osd_detects_rotations(spark):
     rows = page_osd(docs_df, media_df).collect()
     assert rows and all(r["orientation"] == "UP"
                         and r["rotation_degrees"] == 0 for r in rows)
+
+
+def test_simhash64_near_dup(spark):
+    """64-bit fingerprints (16-bit bands — the web-scale width): same
+    near-dup detection semantics, fingerprint lives in a signed bigint."""
+    df = spark.createDataFrame(
+        [("a", "alpha beta gamma delta epsilon zeta eta theta"),
+         ("b", "alpha beta gamma delta epsilon zeta eta iota"),
+         ("c", "one two three four five six seven eight")],
+        "doc_id string, text string")
+    sh = {r["doc_id"]: r["simhash"]
+          for r in D.simhash(df, bits=64).collect()}
+    assert sh["a"] != sh["c"]
+    out = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in D.simhash_near_dup_pairs(df, bits=64).collect()}
+    true_ham = bin((sh["a"] ^ sh["b"]) & (2**64 - 1)).count("1")
+    if true_ham <= 3:
+        assert out[("a", "b")] == true_ham
+    assert ("a", "c") not in out
