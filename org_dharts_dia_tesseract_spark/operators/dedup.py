@@ -51,9 +51,18 @@ def _word_shingles(df: DataFrame, text_col: str, id_col: str,
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", n_hashes: int = 8,
                        shingle_n: int = 3) -> DataFrame:
-    sh = _word_shingles(df, text_col, id_col, shingle_n)
-    aggs = [F.min(_h32(F.concat(F.lit(f"{i}:"), F.col("shingle"))))
-            .alias(f"mh{i}") for i in range(n_hashes)]
+    """n_hashes permutation minima per doc from ONE digest per shingle:
+    h_i = (h1 + i*h2) mod 2^32 (Kirsch-Mitzenmacher composition of two
+    independent 32-bit chunks of the shingle's md5) — one hash in the
+    hot path regardless of n_hashes."""
+    sh = _word_shingles(df, text_col, id_col, shingle_n) \
+        .withColumn("__md5", F.md5("shingle"))
+    h1 = F.conv(F.substring("__md5", 1, 8), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring("__md5", 9, 8), 16, 10).cast("bigint")
+    sh = sh.withColumn("__h1", h1).withColumn("__h2", h2)
+    aggs = [F.min((F.col("__h1") + F.lit(i) * F.col("__h2"))
+                  % F.lit(1 << 32)).alias(f"mh{i}")
+            for i in range(n_hashes)]
     return sh.groupBy(id_col).agg(*aggs)
 
 

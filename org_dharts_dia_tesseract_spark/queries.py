@@ -488,10 +488,10 @@ def _shingles(spark, sf_dir):
 
 _MINHASH_SQL = f"""
     SELECT doc_id,
-           min({_h32_sql("'0:' || shingle")}) AS mh0,
-           min({_h32_sql("'1:' || shingle")}) AS mh1,
-           min({_h32_sql("'2:' || shingle")}) AS mh2,
-           min({_h32_sql("'3:' || shingle")}) AS mh3
+           min(CAST('0x' || substr(md5(shingle),  1, 8) AS BIGINT)) AS mh0,
+           min(CAST('0x' || substr(md5(shingle),  9, 8) AS BIGINT)) AS mh1,
+           min(CAST('0x' || substr(md5(shingle), 17, 8) AS BIGINT)) AS mh2,
+           min(CAST('0x' || substr(md5(shingle), 25, 8) AS BIGINT)) AS mh3
     FROM ({_SHINGLES_SQL})
     GROUP BY doc_id
 """
@@ -499,11 +499,13 @@ _MINHASH_SQL = f"""
 
 @q("minhash_signatures", _MINHASH_SQL)
 def minhash_signatures(spark, sf_dir):
-    """MinHash over 3-word shingles, 4 permutations via keyed portable
-    hash (shingle->minhash stage of MinHash+LSH dedup)."""
-    sh = _shingles(spark, sf_dir)
-    aggs = [F.min(_h32(F.concat(F.lit(f"{i}:"), F.col("shingle"))))
-            .alias(f"mh{i}") for i in range(4)]
+    """MinHash over 3-word shingles, 4 permutations from the 4 disjoint
+    32-bit chunks of ONE md5 per shingle (md5 bits are independent, so
+    the chunks act as 4 independent hash functions — one digest instead
+    of four in the hot path)."""
+    sh = _shingles(spark, sf_dir).withColumn("__md5", F.md5("shingle"))
+    aggs = [F.min(F.conv(F.substring("__md5", 1 + 8 * i, 8), 16, 10)
+                  .cast("bigint")).alias(f"mh{i}") for i in range(4)]
     return sh.groupBy("doc_id").agg(*aggs)
 
 

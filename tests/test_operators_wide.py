@@ -185,13 +185,15 @@ def test_simhash_near_dup(spark):
 
 
 def test_jaccard_pairs_api(spark):
+    base = "one two three four five six seven eight nine ten eleven twelve"
     df = spark.createDataFrame(
-        [("a", "one two three four five"), ("b", "one two three four six"),
-         ("c", "seven eight nine ten")],
+        [("a", base + " alpha"), ("b", base + " beta"),
+         ("c", "cold warm hot cool mild dry wet damp")],
         "doc_id string, text string")
     out = D.jaccard_pairs(df, threshold=0.5).collect()
     assert [(r["id_a"], r["id_b"]) for r in out] == [("a", "b")]
-    assert abs(out[0]["jaccard"] - 4 / 6) < 1e-3
+    # word sets: 13 each, 12 common -> J = 12/14
+    assert abs(out[0]["jaccard"] - 12 / 14) < 1e-3
 
 
 def test_jaccard_hot_word_bounded(spark):
