@@ -98,3 +98,34 @@ def test_baseline_and_boxes_nested():
     for ln in lines:
         assert ln["baseline_y1"] is not None
         assert ln["top"] < ln["baseline_y1"] <= ln["bottom"] + 1
+
+
+def test_deskew_tracks_real_shear():
+    """I8 deskew (LayoutIterator.getOrientation:318-354, radians
+    anticlockwise, clamped to +-pi/4): a genuinely sheared page yields a
+    deskew angle matching the applied slope, per block."""
+    import numpy as np
+
+    from org_dharts_dia_tesseract_spark import datagen
+    from org_dharts_dia_tesseract_spark.oracle.page import analyze_page
+
+    img = datagen.fixture_page("simple_poetry")
+
+    def shear(im, slope):
+        h, w = im.shape
+        pad = int(abs(slope) * w) + 1
+        out = np.full((h + pad, w), 255, dtype=np.uint8)
+        for x in range(w):
+            dy = int(round(slope * x))
+            out[dy:dy + h, x] = im[:, x]
+        return out
+
+    for slope, tol in ((0.03, 0.005), (0.06, 0.01)):
+        res = analyze_page(shear(img, slope))
+        expect = -np.arctan(slope)
+        for blk in res.blocks:
+            got = blk.orientation_info["deskew_angle"]
+            assert abs(got - expect) <= tol, (slope, got, expect)
+    # upright page: (near-)zero deskew on every block
+    for blk in analyze_page(img).blocks:
+        assert abs(blk.orientation_info["deskew_angle"]) <= 0.01
