@@ -50,6 +50,17 @@ def box_intersection(a: Column, b: Column) -> Column:
     return F.when(box_intersects(a, b), inter)
 
 
+def box_union(a: Column, b: Column) -> Column:
+    """Pairwise union: minimal box covering both (BoundingBox.java:51-53's
+    declared-but-stubbed union)."""
+    return F.struct(
+        F.least(a["left"], b["left"]).alias("left"),
+        F.least(a["top"], b["top"]).alias("top"),
+        F.greatest(a["right"], b["right"]).alias("right"),
+        F.greatest(a["bottom"], b["bottom"]).alias("bottom"),
+    )
+
+
 def box_union_agg(box: Column) -> Column:
     """Aggregate: minimal box covering all input boxes (use in agg())."""
     return F.struct(

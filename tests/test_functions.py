@@ -14,7 +14,7 @@ def test_box_functions(spark):
 
     from org_dharts_dia_tesseract_spark.functions.boxes import (
         box_area, box_contains, box_intersection, box_intersects,
-        box_union_agg)
+        box_union, box_union_agg)
     df = spark.createDataFrame(
         [(1, (0, 0, 10, 10), (2, 2, 5, 5)),
          (2, (0, 0, 4, 4), (4, 0, 8, 4)),      # touching edges: disjoint
@@ -35,6 +35,9 @@ def test_box_functions(spark):
     assert r[3]["inter"].asDict() == {"left": 3, "top": 3, "right": 4, "bottom": 4}
     assert r[1]["area"] == 100
     u = df.agg(box_union_agg(F.col("b")).alias("u")).collect()[0]["u"]
+    pu = {row["id"]: row["pu"] for row in df.select(
+        "id", box_union(F.col("a"), F.col("b")).alias("pu")).collect()}
+    assert pu[2].asDict() == {"left": 0, "top": 0, "right": 8, "bottom": 4}
     assert u.asDict() == {"left": 2, "top": 0, "right": 8, "bottom": 8}
 
 
