@@ -195,3 +195,26 @@ def test_ivf_index_partition_pruning(spark, tmp_path_factory):
     # pruning is real: fewer files read than the full index
     full = spark.read.parquet(idx_path)
     assert probe.count() < full.count()
+
+
+def test_page_osd_plan_shape(spark, corpus_paths):
+    """OSD shares the OCR stage's posture: span side broadcasts, payloads
+    never shuffle, one MapInPandas."""
+    from org_dharts_dia_tesseract_spark.operators import page_osd
+    docs = spark.read.parquet(corpus_paths[0])
+    media = spark.read.parquet(corpus_paths[1])
+    df = page_osd(docs, media)
+    assert P.has_broadcast_hash_join(df)
+    assert P.n_exchanges(df) == 0
+    assert P.explain_str(df, "simple").count("MapInPandas") == 1
+
+
+def test_merge_tiff_plan_single_shuffle(spark, corpus_paths):
+    """Byte-level TIFF merge: one exchange (the per-doc collect); the
+    encode kernel is a single MapInPandas above it."""
+    from org_dharts_dia_tesseract_spark.operators.sinks import merge_tiff
+    docs = spark.read.parquet(corpus_paths[0])
+    media = spark.read.parquet(corpus_paths[1])
+    df = merge_tiff(docs, media)
+    assert P.n_exchanges(df) == 1
+    assert P.explain_str(df, "simple").count("MapInPandas") == 1
