@@ -144,7 +144,8 @@ _PRIORITY = [
     "price_quantiles_by_segment",
     # new this round
     "simhash_near_dup_pairs", "ngram_jaccard_band_blocked",
-    "winnow_fingerprints",
+    "winnow_fingerprints", "tpch_q10_returned_items",
+    "grouping_sets_revenue",
     # raster pipeline gates (rows-only)
     "ocr_extract_spans", "ocr_hierarchy", "ocr_layout_only",
     "ocr_training_corpus", "ocr_annotated_pages",

@@ -1510,6 +1510,66 @@ def histogram_price_bins(spark, sf_dir):
                  F.round(F.max("o_totalprice"), 2).alias("hi")))
 
 
+@q("tpch_q10_returned_items", """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           round(c.c_acctbal, 2) AS acctbal
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+""")
+def tpch_q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape (returned-item reporting): 4-way join with the
+    returnflag filter pushed to the lineitem scan, both dims broadcast,
+    revenue agg, top-20. Scale: the only shuffles are the two fact sides
+    + the final agg; the ORDER BY+LIMIT is a TakeOrderedAndProject (no
+    global sort)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (c.join(o, c.c_custkey == o.o_custkey)
+            .join(li, o.o_orderkey == li.l_orderkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .select("c_custkey", "c_name", "n_name", "revenue",
+                    F.round("c_acctbal", 2).alias("acctbal"))
+            .orderBy(F.col("revenue").desc(), "c_custkey")
+            .limit(20))
+
+
+@q("grouping_sets_revenue", """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           round(sum(o_totalprice), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""")
+def grouping_sets_revenue(spark, sf_dir):
+    """Explicit GROUPING SETS (the general form under rollup/cube): one
+    Expand node, single shuffle of the grouped partials."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__orders_gs")
+    return spark.sql("""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               round(sum(o_totalprice), 2) AS revenue,
+               CAST(count(*) AS BIGINT) AS n
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+
+
 _IVF_EXACT_SQL = """
     WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
                WHERE vec_id < 5),
