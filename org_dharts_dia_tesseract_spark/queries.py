@@ -1570,6 +1570,88 @@ def grouping_sets_revenue(spark, sf_dir):
     """)
 
 
+@q("hll_distinct_users", f"""
+    WITH h AS (
+      SELECT event_type,
+             {_h32_sql("CAST(user_id AS VARCHAR)")} AS h,
+             user_id
+      FROM events),
+    r AS (
+      SELECT event_type, h // 16777216 AS reg,
+             CASE WHEN h % 16777216 = 0 THEN 25
+                  ELSE 25 - length(bin(h % 16777216)) END AS rank
+      FROM h),
+    regs AS (
+      SELECT event_type, reg, max(rank) AS m
+      FROM r GROUP BY event_type, reg),
+    sketch AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_regs,
+             sum(1.0 / CAST((CAST(1 AS BIGINT) << m) AS DOUBLE))
+               + (256 - count(*)) * 1.0 AS sum_inv
+      FROM regs GROUP BY event_type),
+    exact AS (
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM events GROUP BY event_type),
+    est AS (
+      SELECT event_type, n_regs,
+             CASE WHEN (0.7213 / (1 + 1.079 / 256)) * 65536 / sum_inv
+                       <= 2.5 * 256 AND n_regs < 256
+                  THEN 256 * ln(256.0 / (256 - n_regs))
+                  ELSE (0.7213 / (1 + 1.079 / 256)) * 65536 / sum_inv
+             END AS raw_est
+      FROM sketch)
+    SELECT s.event_type, s.n_regs, e.n_exact,
+           CAST(round(s.raw_est) AS BIGINT) AS hll_estimate,
+           round(abs(round(s.raw_est) - e.n_exact) * 100.0 / e.n_exact, 1)
+             AS rel_err_pct
+    FROM est s JOIN exact e ON s.event_type = e.event_type
+""")
+def hll_distinct_users(spark, sf_dir):
+    """HyperLogLog distinct-count sketch built from composable built-ins
+    with CROSS-ENGINE BIT-IDENTICAL arithmetic: the portable md5 hash
+    splits into an 8-bit register index and 24 remaining bits whose
+    leading-zero rank comes from the binary-string length (exact integer
+    path, no libm); 1/2^M terms are exactly representable doubles whose
+    sum is order-independent (exponent span < 53 bits), so the raw HLL
+    estimate matches DuckDB to the last bit. The linear-counting branch
+    applies below 2.5m with its estimate rounded to an integer (a
+    <=1-ulp libm ln() difference cannot flip an integer boundary in
+    practice); the exact count and relative error ride along for
+    judgment. Scale: one map-side-combinable groupBy over (type, 256
+    registers) — the shuffle carries at most 256 rows per group
+    regardless of corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    h = _h32(F.col("user_id").cast("string"))
+    r = ev.select(
+        "event_type", "user_id", h.alias("h")
+    ).withColumn("reg", (F.col("h") / 16777216).cast("bigint")) \
+     .withColumn("rank", F.when(F.col("h") % 16777216 == 0, 25)
+                 .otherwise(25 - F.length(
+                     F.conv((F.col("h") % 16777216).cast("string"), 10, 2))))
+    regs = r.groupBy("event_type", "reg").agg(F.max("rank").alias("m"))
+    sketch = (regs.groupBy("event_type")
+              .agg(F.count("*").cast("bigint").alias("n_regs"),
+                   (F.sum(F.lit(1.0)
+                          / F.expr("cast(shiftleft(cast(1 as bigint), m) "
+                                   "as double)"))
+                    + (256 - F.count("*")) * F.lit(1.0)).alias("sum_inv")))
+    exact = (ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").cast("bigint").alias("n_exact")))
+    alpha_m2 = F.lit(0.7213) / (F.lit(1) + F.lit(1.079) / F.lit(256)) * 65536
+    raw = alpha_m2 / F.col("sum_inv")
+    est = F.when((raw <= 2.5 * 256) & (F.col("n_regs") < 256),
+                 F.lit(256) * F.log(F.lit(256.0)
+                                    / (256 - F.col("n_regs")))) \
+        .otherwise(raw)
+    rounded = F.round(est).cast("bigint")
+    return (sketch.join(exact, "event_type")
+            .select("event_type", "n_regs", "n_exact",
+                    rounded.alias("hll_estimate"),
+                    F.round(F.abs(rounded - F.col("n_exact")) * 100.0
+                            / F.col("n_exact"), 1).alias("rel_err_pct")))
+
+
 _IVF_EXACT_SQL = """
     WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
                WHERE vec_id < 5),
