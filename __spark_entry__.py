@@ -145,7 +145,7 @@ _PRIORITY = [
     # new this round
     "simhash_near_dup_pairs", "ngram_jaccard_band_blocked",
     "winnow_fingerprints", "tpch_q10_returned_items",
-    "grouping_sets_revenue", "hll_distinct_users",
+    "grouping_sets_revenue", "hll_distinct_users", "cms_hot_users",
     # raster pipeline gates (rows-only)
     "ocr_extract_spans", "ocr_hierarchy", "ocr_layout_only",
     "ocr_training_corpus", "ocr_annotated_pages",

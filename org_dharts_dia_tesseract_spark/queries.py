@@ -1652,6 +1652,67 @@ def hll_distinct_users(spark, sf_dir):
                             / F.col("n_exact"), 1).alias("rel_err_pct")))
 
 
+@q("cms_hot_users", f"""
+    WITH hashes AS (
+      SELECT user_id, i,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                 1 + 8 * i, 8) AS BIGINT) % 256 AS bucket
+      FROM events, (SELECT unnest(generate_series(0, 3)) AS i)),
+    cms AS (
+      SELECT i, bucket, CAST(count(*) AS BIGINT) AS c
+      FROM hashes GROUP BY i, bucket),
+    exact AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact
+      FROM events GROUP BY user_id),
+    top10 AS (
+      SELECT user_id, n_exact FROM exact
+      ORDER BY n_exact DESC, user_id LIMIT 10),
+    est AS (
+      SELECT t.user_id, t.n_exact, min(c.c) AS cms_estimate
+      FROM top10 t
+      JOIN (SELECT DISTINCT user_id, i, bucket FROM hashes) h
+        ON h.user_id = t.user_id
+      JOIN cms c ON c.i = h.i AND c.bucket = h.bucket
+      GROUP BY t.user_id, t.n_exact)
+    SELECT user_id, n_exact, cms_estimate,
+           CAST(cms_estimate - n_exact AS BIGINT) AS overestimate
+    FROM est
+""")
+def cms_hot_users(spark, sf_dir):
+    """Count-Min sketch heavy-hitter estimates, bit-identical across
+    engines by construction (pure integer arithmetic): 4 hash rows x 256
+    buckets from the 4 disjoint 32-bit chunks of one md5; a key's
+    estimate is the min of its 4 bucket counts (always >= the true
+    count). Scale: the sketch is a map-side-combinable groupBy onto
+    <=1024 cells regardless of corpus size; the probe side joins the
+    top-k keys only."""
+    ev = load_table(spark, sf_dir, "events")
+    hashes = ev.select(
+        "user_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("i"),
+                (F.conv(F.substring(F.md5(F.col("user_id").cast("string")),
+                                    1 + 8 * i, 8), 16, 10)
+                 .cast("bigint") % 256).alias("bucket"))
+            for i in range(4)])).alias("hb")
+    ).select("user_id", F.col("hb.i").alias("i"),
+             F.col("hb.bucket").alias("bucket"))
+    cms = (hashes.groupBy("i", "bucket")
+           .agg(F.count("*").cast("bigint").alias("c")))
+    exact = ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_exact"))
+    top10 = exact.orderBy(F.col("n_exact").desc(), "user_id").limit(10)
+    probe = hashes.select("user_id", "i", "bucket").distinct()
+    est = (top10.join(probe, "user_id")
+           .join(cms, ["i", "bucket"])
+           .groupBy("user_id", "n_exact")
+           .agg(F.min("c").alias("cms_estimate")))
+    return est.select("user_id", "n_exact", "cms_estimate",
+                      (F.col("cms_estimate") - F.col("n_exact"))
+                      .cast("bigint").alias("overestimate"))
+
+
 _IVF_EXACT_SQL = """
     WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
                WHERE vec_id < 5),
