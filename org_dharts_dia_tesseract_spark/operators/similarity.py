@@ -228,6 +228,60 @@ def ivf_assign(embeddings: DataFrame, centroids: list[list[float]],
         "list_id", _nearest_list(F.col(emb_col), centroids))
 
 
+def ivf_write_index(embeddings: DataFrame, path: str, n_lists: int = 8,
+                    id_col: str = "vec_id", emb_col: str = "embedding",
+                    centroids: list[list[float]] | None = None
+                    ) -> list[list[float]]:
+    """Persist the IVF index: vectors tagged with list_id, written
+    partitionBy(list_id) so probes prune at the parquet scan, plus the
+    centroid model as JSON alongside (`<path>/_centroids.json`).
+    Returns the centroids."""
+    import json
+    import os
+    if centroids is None:
+        centroids = kmeans_centroids(embeddings, n_lists=n_lists,
+                                     id_col=id_col, emb_col=emb_col)
+    ivf_assign(embeddings, centroids, emb_col) \
+        .write.mode("overwrite").partitionBy("list_id").parquet(path)
+    with open(os.path.join(path, "_centroids.json"), "w") as f:
+        json.dump(centroids, f)
+    return centroids
+
+
+def ivf_topk_indexed(spark, path: str, queries: DataFrame, k: int = 5,
+                     nprobe: int = 2,
+                     id_col: str = "vec_id", emb_col: str = "embedding",
+                     q_id_col: str = "q_id",
+                     q_emb_col: str = "q_emb") -> DataFrame:
+    """Top-k against a persisted IVF index: the probe-list filter lands
+    on the index's list_id partition column, so only nprobe/n_lists of
+    the stored corpus is ever READ (PartitionFilters in the scan plan,
+    pinned by test_ivf_index_partition_pruning), then scored via the
+    same broadcast probe join as ivf_topk."""
+    import json
+    import os
+    with open(os.path.join(path, "_centroids.json")) as f:
+        centroids = json.load(f)
+    index = spark.read.parquet(path)
+    probes = queries.select(
+        q_id_col, q_emb_col,
+        F.explode(_probe_lists(F.col(q_emb_col), centroids, nprobe))
+        .alias("list_id"))
+    probe_lists = sorted({r["list_id"]
+                          for r in probes.select("list_id")
+                          .distinct().collect()})
+    pruned = index.where(F.col("list_id").isin(probe_lists))
+    scored = (pruned.join(F.broadcast(probes), "list_id")
+              .where(F.col(id_col) != F.col(q_id_col))
+              .select(q_id_col, id_col,
+                      cosine(F.col(q_emb_col), F.col(emb_col)).alias("cosine"))
+              .where(F.col("cosine").isNotNull()))
+    w = Window.partitionBy(q_id_col).orderBy(F.col("cosine").desc(),
+                                             F.col(id_col))
+    return (scored.withColumn("rk", F.row_number().over(w).cast("int"))
+            .where(F.col("rk") <= k))
+
+
 def _probe_lists(q_emb: Column, centroids: list[list[float]],
                  nprobe: int) -> Column:
     """Array of the nprobe nearest list ids for a query vector."""

@@ -661,3 +661,27 @@ def test_simhash64_near_dup(spark):
     if true_ham <= 3:
         assert out[("a", "b")] == true_ham
     assert ("a", "c") not in out
+
+
+def test_ivf_indexed_matches_in_memory(spark, tmp_path):
+    """Persisted-index IVF search: same results as the in-memory path,
+    probe reads only the probed list partitions."""
+    rng = np.random.default_rng(31)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    qs = (emb.where(F.col("vec_id") < 3)
+          .select(F.col("vec_id").alias("q_id"),
+                  F.col("embedding").alias("q_emb")))
+    path = str(tmp_path / "ivf")
+    cents = S.ivf_write_index(emb, path, n_lists=4)
+    got = {(r["q_id"], r["rk"]): r["vec_id"]
+           for r in S.ivf_topk_indexed(spark, path, qs, k=5,
+                                       nprobe=4).collect()}
+    mem = {(r["q_id"], r["rk"]): r["vec_id"]
+           for r in S.ivf_topk(emb, qs, k=5, n_lists=4, nprobe=4,
+                               centroids=cents).collect()}
+    assert got == mem and len(got) == 15
+    # nprobe=1 reads a strict subset of partitions (plan prunes)
+    from org_dharts_dia_tesseract_spark import plans as P
+    df1 = S.ivf_topk_indexed(spark, path, qs, k=5, nprobe=1)
+    assert "PartitionFilters" in P.explain_str(df1)
