@@ -1,14 +1,14 @@
-"""Pure-numpy image codecs: BMP, PNM, baseline TIFF (none/PackBits).
+"""Pure-numpy image codecs: BMP, PNM, TIFF (none/DEFLATE/PackBits).
 
 Rebuilds the decodable subset of the reference's ImageIO surface
 (ImageIOHelper.java:263-327 decodes TIFF/JPEG/GIF/PNG/BMP/PNM/JP2 via
 javax.imageio) that is implementable without an imaging library:
 uncompressed BMP (8-bit greyscale palette + 24-bit BGR), binary/ASCII PNM
-(P2/P3/P5/P6), and baseline TIFF (single or multi strip, compression
-none=1 or PackBits=32773, grey or RGB). DEFLATE/JPEG-compressed formats
-remain stubbed in operators.multimodal (no zlib-free implementation is
-worth hand-rolling here; the env has no PIL/scipy). PDF stays rejected,
-mirroring ImageIOHelper.java:278-282.
+(P2/P3/P5/P6), and TIFF (single or multi strip, compression none=1,
+Adobe/legacy DEFLATE=8/32946 via stdlib zlib, or PackBits=32773, grey or
+RGB). JPEG-family formats remain stubbed in operators.multimodal (entropy
+coders; the env has no PIL/scipy). PDF stays rejected, mirroring
+ImageIOHelper.java:278-282.
 
 Every decoder returns uint8 arrays shaped (h, w) for 1 band or
 (h, w, bands); every encoder is its exact inverse (round-trip tested).
@@ -34,6 +34,8 @@ def sniff_codec(payload: bytes) -> str | None:
         return "pnm"
     if payload[:4] in (b"II*\x00", b"MM\x00*"):
         return "tiff"
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
     if payload[:4] == b"%PDF":
         return "pdf"
     return None
@@ -149,7 +151,15 @@ def decode_pnm(data: bytes) -> np.ndarray:
     bands = 3 if magic in (b"P3", b"P6") else 1
     n = w * h * bands
     if magic in (b"P5", b"P6"):
-        px = np.frombuffer(data, dtype=np.uint8, count=n, offset=i + 1)
+        # exactly ONE whitespace byte separates maxval from the raster
+        # (PNM spec) — but Windows writers emit \r\n, so treat that pair
+        # as the single separator; anything else non-whitespace is corrupt
+        if i >= len(data) or not data[i:i + 1].isspace():
+            raise ValueError("PNM: missing whitespace after maxval")
+        off = i + 1
+        if data[i:i + 1] == b"\r" and data[off:off + 1] == b"\n":
+            off += 1
+        px = np.frombuffer(data, dtype=np.uint8, count=n, offset=off)
     else:
         vals, _ = _pnm_tokens(data, n, i)
         px = np.asarray(vals, dtype=np.uint8)
@@ -209,15 +219,34 @@ def packbits_decode(data: bytes, expected: int) -> bytes:
     return bytes(out)
 
 
-def encode_tiff(img: np.ndarray, packbits: bool = False) -> bytes:
-    """Single-IFD little-endian baseline TIFF, one strip per row."""
+_TIFF_COMPRESSION = {"none": 1, "deflate": 8, "packbits": 32773}
+
+
+def encode_tiff(img: np.ndarray, packbits: bool = False,
+                compression: str | None = None) -> bytes:
+    """Single-IFD little-endian baseline TIFF, one strip per row.
+
+    compression: 'none' | 'packbits' | 'deflate' (Adobe DEFLATE, tag
+    value 8 — zlib streams per strip, the most common scanned-page TIFF
+    encoding after none/PackBits); the legacy `packbits` bool is kept for
+    callers predating the deflate path."""
+    if compression is None:
+        compression = "packbits" if packbits else "none"
+    if compression not in _TIFF_COMPRESSION:
+        raise ValueError(f"TIFF compression must be one of "
+                         f"{sorted(_TIFF_COMPRESSION)}, got {compression!r}")
     img = np.ascontiguousarray(img, dtype=np.uint8)
     h, w = img.shape[:2]
     bands = 1 if img.ndim == 2 else img.shape[2]
     rows = img.reshape(h, w * bands)
-    strips = ([packbits_encode(rows[y]) for y in range(h)] if packbits
-              else [rows[y].tobytes() for y in range(h)])
-    compression = 32773 if packbits else 1
+    if compression == "packbits":
+        strips = [packbits_encode(rows[y]) for y in range(h)]
+    elif compression == "deflate":
+        import zlib
+        strips = [zlib.compress(rows[y].tobytes()) for y in range(h)]
+    else:
+        strips = [rows[y].tobytes() for y in range(h)]
+    compression = _TIFF_COMPRESSION[compression]
     photometric = 1 if bands == 1 else 2
 
     # layout: header(8) | IFD | [bits array if bands==3] | strip offsets |
@@ -306,9 +335,10 @@ def _decode_tiff_ifd(data: bytes, endian: str, ifd_off: int) -> np.ndarray:
     rows_per_strip = tags.get("rows_per_strip", [h])[0]
     if any(b != 8 for b in tags.get("bits", [8])):
         raise NotImplementedError("TIFF bits-per-sample != 8 unsupported")
-    if compression not in (1, 32773):
+    if compression not in (1, 8, 32773, 32946):
         raise NotImplementedError(
-            f"TIFF compression {compression} unsupported (none/PackBits only)")
+            f"TIFF compression {compression} unsupported "
+            "(none/DEFLATE/PackBits only)")
     row_bytes = w * bands
     chunks = []
     for si, (off, cnt) in enumerate(zip(tags["strip_offsets"],
@@ -317,6 +347,9 @@ def _decode_tiff_ifd(data: bytes, endian: str, ifd_off: int) -> np.ndarray:
         raw = data[off: off + cnt]
         if compression == 32773:
             raw = packbits_decode(raw, n_rows * row_bytes)
+        elif compression in (8, 32946):   # Adobe / legacy DEFLATE
+            import zlib
+            raw = zlib.decompress(raw)
         chunks.append(np.frombuffer(raw, dtype=np.uint8,
                                     count=n_rows * row_bytes))
     px = np.concatenate(chunks)
@@ -327,14 +360,15 @@ def _decode_tiff_ifd(data: bytes, endian: str, ifd_off: int) -> np.ndarray:
 
 
 def encode_tiff_multipage(pages: list[np.ndarray],
-                          packbits: bool = False) -> bytes:
+                          packbits: bool = False,
+                          compression: str | None = None) -> bytes:
     """Multi-page TIFF: per-page single-IFD files concatenated (header
     kept once) with every intra-file offset rebased and the IFDs linked
     through the `next` pointer chain — the layout
     ImageIOHelper.createTiffFiles:74-123 splits back into page files."""
     if not pages:
         raise ValueError("multi-page TIFF needs at least one page")
-    blobs = [encode_tiff(p, packbits) for p in pages]
+    blobs = [encode_tiff(p, packbits, compression) for p in pages]
     # page i's bytes land at `starts[i]`; for i>0 the 8-byte header is
     # dropped, so an in-blob offset X maps to X + starts[i] - 8
     starts, pos = [], 0
@@ -389,5 +423,103 @@ def decode_tiff_pages(data: bytes) -> list[np.ndarray]:
     return pages
 
 
-DECODERS = {"bmp": decode_bmp, "pnm": decode_pnm, "tiff": decode_tiff}
-ENCODERS = {"bmp": encode_bmp, "pnm": encode_pnm, "tiff": encode_tiff}
+# ---------------------------------------------------------------------------
+# PNG (8-bit greyscale / RGB, non-interlaced; all 5 scanline filters)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import zlib
+    return (struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Minimal standard PNG: 8-bit grey (color type 0) or RGB (type 2),
+    filter 0 on every scanline, one zlib IDAT."""
+    import zlib
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w = img.shape[:2]
+    bands = 1 if img.ndim == 2 else img.shape[2]
+    if bands not in (1, 3):
+        raise ValueError(f"PNG encoder supports 1 or 3 bands, got {bands}")
+    color = 0 if bands == 1 else 2
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    rows = img.reshape(h, w * bands)
+    raw = b"".join(b"\x00" + rows[y].tobytes() for y in range(h))
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Non-interlaced 8-bit grey/RGB PNG with full filter support:
+    None/Up are vectorized, Sub is a per-channel prefix sum (mod-256
+    cumsum), Average/Paeth fall back to a per-pixel row loop (foreign
+    writers only — our encoder emits filter 0)."""
+    import zlib
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        typ = data[pos + 4: pos + 8]
+        chunk = data[pos + 8: pos + 8 + length]
+        pos += 12 + length
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", chunk)
+        elif typ == b"IDAT":
+            idat.append(chunk)
+        elif typ == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8 or color not in (0, 2) or interlace != 0:
+        raise NotImplementedError(
+            f"PNG depth={depth} color={color} interlace={interlace} "
+            "unsupported (8-bit grey/RGB, non-interlaced only)")
+    bands = 1 if color == 0 else 3
+    stride = w * bands
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if raw.size != h * (stride + 1):
+        raise ValueError("PNG scanline data size mismatch")
+    raw = raw.reshape(h, stride + 1)
+    filters, rows = raw[:, 0], raw[:, 1:].astype(np.int32)
+    out = np.empty((h, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f, row = int(filters[y]), rows[y]
+        if f == 0:                                        # None
+            rec = row
+        elif f == 1:                                      # Sub
+            rec = (np.cumsum(row.reshape(w, bands), axis=0) & 255).reshape(stride)
+        elif f == 2:                                      # Up
+            rec = (row + prev) & 255
+        elif f in (3, 4):                                 # Average / Paeth
+            rec = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = rec[x - bands] if x >= bands else 0   # left
+                b = prev[x]                               # up
+                c = prev[x - bands] if x >= bands else 0  # up-left
+                if f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc
+                                                            else c)
+                rec[x] = (row[x] + pred) & 255
+        else:
+            raise ValueError(f"PNG filter {f} invalid")
+        out[y] = prev = rec
+    img = out.astype(np.uint8)
+    return img.reshape((h, w) if bands == 1 else (h, w, bands))
+
+
+DECODERS = {"bmp": decode_bmp, "pnm": decode_pnm, "tiff": decode_tiff,
+            "png": decode_png}
+ENCODERS = {"bmp": encode_bmp, "pnm": encode_pnm, "tiff": encode_tiff,
+            "png": encode_png}

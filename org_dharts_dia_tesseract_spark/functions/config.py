@@ -145,3 +145,27 @@ def parse_language_spec(spec: str, available: set[str]) -> tuple[set[str], set[s
                                         {"language": lang})
         (exclude if neg else include).add(lang)
     return include - exclude, exclude
+
+
+def resolve_languages(spec: str) -> tuple[str, ...]:
+    """Resolve a language spec against the INSTALLED glyph atlases
+    (glyphs.LANGUAGE_PACKS — the tessdata directory analog) into the
+    load ORDER recognition uses: include terms in first-appearance
+    order, minus excluded packs. The result feeds recognize_blocks /
+    analyze_page, so e.g. 'hin' or 'eng+hin' genuinely changes
+    recognized text, mirroring TesseractHandle.init:399-459 loading
+    different template packs."""
+    from ..glyphs import LANGUAGE_PACKS
+    available = set(LANGUAGE_PACKS)
+    loaded, _excluded = parse_language_spec(spec, available)
+    ordered: list[str] = []
+    for term in spec.split("+"):
+        term = term.strip()
+        if term.startswith("~") or not term:
+            continue
+        if term in loaded and term not in ordered:
+            ordered.append(term)
+    if not ordered:
+        raise InvalidParameterError(
+            "language spec resolves to an empty load set", {"spec": spec})
+    return tuple(ordered)

@@ -34,9 +34,18 @@ CHARSET = (
 _MIN_PAIR_HAMMING = 6
 _SEED = 42
 
+# Installed "language packs" (tessdata analog): name -> atlas seed. Each
+# pack is a full glyph atlas over the same closed charset; 'eng' is the
+# default and the one the renderer draws with, so recognizing under a
+# different pack (init 'hin') yields different — but deterministic —
+# text, exactly as swapping tessdata packs changes Tesseract's output
+# (TesseractHandle.init:399-459 language spec).
+LANGUAGE_PACKS = {"eng": _SEED, "hin": 1042}
+DEFAULT_LANGS = ("eng",)
 
-def _gen_atlas() -> dict[str, np.ndarray]:
-    rng = np.random.default_rng(_SEED)
+
+def _gen_atlas(seed: int = _SEED) -> dict[str, np.ndarray]:
+    rng = np.random.default_rng(seed)
     atlas: dict[str, np.ndarray] = {}
     chosen: list[np.ndarray] = []
     for ch in CHARSET:
@@ -60,22 +69,30 @@ def _gen_atlas() -> dict[str, np.ndarray]:
     return atlas
 
 
-_ATLAS: dict[str, np.ndarray] | None = None
+_ATLASES: dict[str, dict[str, np.ndarray]] = {}
 
 
-def atlas() -> dict[str, np.ndarray]:
-    """char -> (7,5) uint8 {0,1} bitmap. Cached; deterministic."""
-    global _ATLAS
-    if _ATLAS is None:
-        _ATLAS = _gen_atlas()
-    return _ATLAS
+def atlas(lang: str = "eng") -> dict[str, np.ndarray]:
+    """char -> (7,5) uint8 {0,1} bitmap for one language pack.
+    Cached; deterministic. Unknown pack -> KeyError (init failure)."""
+    if lang not in _ATLASES:
+        _ATLASES[lang] = _gen_atlas(LANGUAGE_PACKS[lang])
+    return _ATLASES[lang]
 
 
-def atlas_matrix() -> tuple[np.ndarray, str]:
-    """(N, 35) flattened glyph matrix + the charset string, aligned."""
-    a = atlas()
-    mat = np.stack([a[ch].ravel() for ch in CHARSET]).astype(np.int16)
-    return mat, CHARSET
+def atlas_matrix(langs: tuple[str, ...] = DEFAULT_LANGS
+                 ) -> tuple[np.ndarray, str]:
+    """(N*len(langs), 35) flattened template matrix + the aligned char
+    string (CHARSET repeated per pack, in load order). Classification
+    over the concatenation is the multi-language recognition mode:
+    nearest template across ALL loaded packs wins; ties break to the
+    earliest index, i.e. the earliest-loaded language."""
+    mats, chars = [], []
+    for lang in langs:
+        a = atlas(lang)
+        mats.append(np.stack([a[ch].ravel() for ch in CHARSET]))
+        chars.append(CHARSET)
+    return np.concatenate(mats).astype(np.int16), "".join(chars)
 
 
 def classify(bitmap: np.ndarray) -> tuple[str, float]:

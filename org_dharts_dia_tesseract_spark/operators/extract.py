@@ -126,7 +126,8 @@ def _joined_images(documents: DataFrame, media: DataFrame,
 
 
 def _ocr_stage(rows: DataFrame, psm: str, salt_partitions: int | None,
-               on_error: str = "fail") -> DataFrame:
+               on_error: str = "fail",
+               langs: tuple[str, ...] = ("eng",)) -> DataFrame:
     """Image-span rows (with payload) -> block-level sub-spans.
 
     on_error: 'fail' raises (strict, the reference's TesseractException
@@ -149,7 +150,7 @@ def _ocr_stage(rows: DataFrame, psm: str, salt_partitions: int | None,
                 try:
                     img = decode_payload(r.payload, r.width, r.height,
                                          r.bands)
-                    res = analyze_page(img, psm=psm)
+                    res = analyze_page(img, psm=psm, langs=langs)
                 except Exception as e:   # noqa: BLE001 — policy boundary
                     if on_error == "fail":
                         raise
@@ -193,18 +194,24 @@ def extract_spans(documents: DataFrame, media: DataFrame, *,
                   psm: str = "AUTO",
                   broadcast_media: bool = False,
                   salt_partitions: int | None = None,
-                  on_error: str = "fail") -> DataFrame:
+                  on_error: str = "fail",
+                  languages: str = "eng") -> DataFrame:
     """Flagship query: (documents, media) -> ordered span table
     (doc_id, seq, kind, text, media_ref) — the invariant's exact shape
     (FIXTURES.md section 4 / BASELINE.json input_hint). on_error:
-    'fail' | 'dead-letter' (see _ocr_stage)."""
+    'fail' | 'dead-letter' (see _ocr_stage). `languages` is the init
+    spec '[~]lang[+[~]lang]*' (TesseractHandle.init:399-459): the
+    resolved pack load order feeds recognition templates, so the spec
+    changes recognized text, not just config state."""
+    from ..functions.config import resolve_languages
+    langs = resolve_languages(languages)
     text_spans = (_exploded(documents)
                   .where(F.col("kind") == "text")
                   .select("doc_id", "offset", F.lit(0).alias("sub"),
                           "kind", "text", "media_ref"))
     ocr_spans = _ocr_stage(
         _joined_images(documents, media, broadcast_media),
-        psm, salt_partitions, on_error)
+        psm, salt_partitions, on_error, langs)
     all_spans = text_spans.unionByName(ocr_spans)
     w = Window.partitionBy("doc_id").orderBy("offset", "sub")
     return (all_spans
@@ -253,14 +260,18 @@ def analyze_documents(documents: DataFrame, media: DataFrame, *,
                       whitelist: str | None = None,
                       roi: tuple[int, int, int, int] | None = None,
                       broadcast_media: bool = False,
-                      salt_partitions: int | None = None) -> DataFrame:
+                      salt_partitions: int | None = None,
+                      languages: str = "eng") -> DataFrame:
     """Full hierarchy materialization: one row per node per page
     (the DataFrame form of the native PAGE_RES tree — SURVEY section 1.6).
 
     recognize=False is analyzeLayout (no classification cost); whitelist
     mirrors tessedit_char_whitelist; roi mirrors setRectangle (full-image
-    coordinates preserved).
+    coordinates preserved); languages is the init language spec (resolved
+    pack order feeds the recognition templates).
     """
+    from ..functions.config import resolve_languages
+    langs = resolve_languages(languages)
     rows = _joined_images(documents, media, broadcast_media)
     if salt_partitions:
         rows = rows.repartition(salt_partitions, "doc_id", "offset")
@@ -272,7 +283,8 @@ def analyze_documents(documents: DataFrame, media: DataFrame, *,
             for r in pdf.itertuples(index=False):
                 img = decode_payload(r.payload, r.width, r.height, r.bands)
                 res = analyze_page(img, psm=psm, recognize=recognize,
-                                   whitelist=whitelist, roi=roi)
+                                   whitelist=whitelist, roi=roi,
+                                   langs=langs)
                 rws = res.rows()
                 if not rws:
                     continue

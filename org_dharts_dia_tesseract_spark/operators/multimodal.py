@@ -3,8 +3,9 @@ frame-sample over opaque binary payloads with typed metadata.
 
 Decode paths: raw row-major uint8 (zero-copy byte-buffer handoff, the
 reference's ImageIOHelper.convertImageData:249-257) plus REAL pure-numpy
-codecs for BMP / PNM / baseline TIFF incl. PackBits (codecs_img.py — the
-decodable subset of ImageIOHelper.java:263-327). JPEG/PNG/GIF/JP2 need
+codecs for BMP / PNM / TIFF (PackBits + DEFLATE strips) / PNG (zlib
+IDAT, all 5 scanline filters) (codecs_img.py — the decodable subset of
+ImageIOHelper.java:263-327). JPEG/GIF/JP2 need
 entropy coders no library in this environment provides and stay STUBBED
 behind NotImplementedError; PDF is rejected like the reference
 (ImageIOHelper.java:278-282). The Spark-side plumbing (schema, batching,
@@ -27,8 +28,8 @@ from pyspark.sql import types as T
 from ..codecs_img import DECODERS, ENCODERS, sniff_codec
 
 SUPPORTED_RAW = "raw"   # row-major uint8, length == width*height*bands
-CODECS_REAL = ("bmp", "pnm", "tiff")   # pure-numpy (codecs_img.py)
-CODECS_STUBBED = ("jpeg", "png", "gif", "jp2")
+CODECS_REAL = ("bmp", "pnm", "tiff", "png")   # pure-numpy (codecs_img.py)
+CODECS_STUBBED = ("jpeg", "gif", "jp2")
 DEFAULT_DPI = 96
 
 
@@ -49,18 +50,20 @@ def decode(payload: bytes, width: int, height: int, bands: int,
     if codec in CODECS_STUBBED:
         raise NotImplementedError(
             f"codec {codec!r} requires an imaging library absent from this "
-            "environment; bmp/pnm/tiff are implemented in pure numpy and "
-            "exercise the same plumbing")
+            "environment; bmp/pnm/tiff/png are implemented in pure numpy "
+            "and exercise the same plumbing")
     # PDF is *rejected*, not stubbed (ImageIOHelper.java:278-282 throws)
     raise ValueError(f"unsupported media codec {codec!r}")
 
 
 def reencode_media(media: DataFrame, codec: str,
-                   packbits: bool = False) -> DataFrame:
+                   packbits: bool = False,
+                   compression: str | None = None) -> DataFrame:
     """Re-encode raw media payloads with a real codec (bmp/pnm/tiff) —
     the inverse of decode, used as a sink format and to drive the codec
     decode path end-to-end through the OCR pipeline. mapInPandas per
-    Arrow batch; width/height/bands metadata is preserved."""
+    Arrow batch; width/height/bands metadata is preserved. For tiff,
+    `compression` picks 'none' | 'packbits' | 'deflate'."""
     if codec not in CODECS_REAL:
         raise ValueError(f"encodable codecs are {CODECS_REAL}, got {codec!r}")
 
@@ -69,8 +72,8 @@ def reencode_media(media: DataFrame, codec: str,
             out = {f.name: [] for f in RESIZE_SCHEMA}
             for r in pdf.itertuples(index=False):
                 img = decode(r.payload, r.width, r.height, r.bands)
-                enc = (ENCODERS["tiff"](img, packbits) if codec == "tiff"
-                       else ENCODERS[codec](img))
+                enc = (ENCODERS["tiff"](img, packbits, compression)
+                       if codec == "tiff" else ENCODERS[codec](img))
                 out["media_ref"].append(r.media_ref)
                 out["width"].append(r.width)
                 out["height"].append(r.height)

@@ -71,11 +71,18 @@ def hyperplane_signature(emb_col: str | Column, n_planes: int,
     """Deterministic random-hyperplane signature as a bit string.
 
     Vectorized pandas_udf with a lazily-built (n_planes x dim) weight
-    matrix: one Arrow-batched matmul per batch, a plan of constant size
+    matrix: one Arrow-batched kernel per batch, a plan of constant size
     regardless of n_planes x dim (the round-1 expression form compiled
     ~n_planes*dim Catalyst nodes per column — plan compilation beat the
     data at dim>=256), and no driver-side job: dim is taken from the
-    first Arrow batch (`dim` is accepted for validation only)."""
+    first Arrow batch (`dim` is accepted for validation only).
+
+    The dot products accumulate LEFT-TO-RIGHT over dimensions in float64
+    (a per-dimension add loop, not a BLAS matmul): a BLAS `X @ W.T` can
+    reorder the summation and flip the sign of near-zero dots between
+    BLAS builds, whereas this fixed-order reduction reproduces the
+    Catalyst `aggregate(zip_with(...))` fold exactly — signatures are
+    identical across engines and environments."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
     planes: dict[int, "np.ndarray"] = {}
@@ -91,7 +98,13 @@ def hyperplane_signature(emb_col: str | Column, n_planes: int,
         W = planes.get(d)
         if W is None:
             W = planes[d] = _plane_matrix(n_planes, d)
-        bits = np.where(X @ W.T >= 0, "1", "0")
+        # fixed-order (left-to-right over dims) accumulation; still
+        # vectorized over (rows x planes) per dimension step
+        acc = np.zeros((X.shape[0], W.shape[0]), dtype=np.float64)
+        WT = W.T   # (d, n_planes)
+        for j in range(d):
+            acc += X[:, j:j + 1] * WT[j:j + 1, :]
+        bits = np.where(acc >= 0, "1", "0")
         return pd.Series(["".join(row) for row in bits])
 
     return sig(F.col(emb_col) if isinstance(emb_col, str) else emb_col)
@@ -234,17 +247,20 @@ def ivf_write_index(embeddings: DataFrame, path: str, n_lists: int = 8,
                     ) -> list[list[float]]:
     """Persist the IVF index: vectors tagged with list_id, written
     partitionBy(list_id) so probes prune at the parquet scan, plus the
-    centroid model as JSON alongside (`<path>/_centroids.json`).
+    centroid model as a one-line JSON text dataset alongside
+    (`<path>/_centroids/`). The sidecar is written through Spark's
+    DataFrameWriter (i.e. the Hadoop FileSystem for `path`'s scheme), so
+    the index works on hdfs:// and s3:// paths, not just local disk.
     Returns the centroids."""
     import json
-    import os
     if centroids is None:
         centroids = kmeans_centroids(embeddings, n_lists=n_lists,
                                      id_col=id_col, emb_col=emb_col)
     ivf_assign(embeddings, centroids, emb_col) \
         .write.mode("overwrite").partitionBy("list_id").parquet(path)
-    with open(os.path.join(path, "_centroids.json"), "w") as f:
-        json.dump(centroids, f)
+    spark = embeddings.sparkSession
+    spark.createDataFrame([(json.dumps(centroids),)], "value string") \
+        .coalesce(1).write.mode("overwrite").text(f"{path}/_centroids")
     return centroids
 
 
@@ -259,9 +275,8 @@ def ivf_topk_indexed(spark, path: str, queries: DataFrame, k: int = 5,
     pinned by test_ivf_index_partition_pruning), then scored via the
     same broadcast probe join as ivf_topk."""
     import json
-    import os
-    with open(os.path.join(path, "_centroids.json")) as f:
-        centroids = json.load(f)
+    rows = spark.read.text(f"{path}/_centroids").collect()
+    centroids = json.loads("".join(r["value"] for r in rows))
     index = spark.read.parquet(path)
     probes = queries.select(
         q_id_col, q_emb_col,

@@ -85,12 +85,14 @@ def unlv_text(hierarchy: DataFrame, reject_below: float = 50.0,
     symbols below the reject confidence render as '~' (the UNLV reject
     code), words containing any symbol below the suspect confidence are
     prefixed '^' (the suspect marker); lines join with '\\n', Latin-1
-    unrepresentable chars degrade to '~'. Built entirely from SYMBOL rows
-    so the codes apply at the reference's granularity."""
+    unrepresentable chars (codepoint > U+00FF) degrade to '~'. Built
+    entirely from SYMBOL rows so the codes apply at the reference's
+    granularity. (The engine's own atlas charset is ASCII, so the Latin-1
+    degradation only bites on externally-supplied hierarchies.)"""
     syms = hierarchy.where((F.col("level") == "SYMBOL")
                            & F.col("text").isNotNull())
     ch = F.when(F.col("confidence") < reject_below, F.lit("~")) \
-        .otherwise(F.col("text"))
+        .otherwise(F.regexp_replace(F.col("text"), r"[^\x00-\xff]", "~"))
     word_key = ["doc_id", "media_ref", "block_id", "para_id", "line_id",
                 "word_id"]
     words = (syms
@@ -135,41 +137,70 @@ def all_word_confidences(hierarchy: DataFrame) -> DataFrame:
                 .alias("word_confs")))
 
 
-def merge_pages(documents: DataFrame, media: DataFrame) -> DataFrame:
+#: merge_pages / merge_tiff refuse documents beyond this many pages: the
+#: merge collects a document's FULL page payloads into ONE row, so a
+#: pathological thousand-page doc would build a multi-hundred-MB record
+#: and OOM an executor mid-shuffle. The cap makes that failure mode an
+#: explicit, typed, per-document error instead.
+DEFAULT_MAX_PAGES = 512
+
+
+def merge_pages(documents: DataFrame, media: DataFrame,
+                max_pages: int | None = DEFAULT_MAX_PAGES) -> DataFrame:
     """TIFF-merge analog (ImageIOHelper.mergeTiff:336-371): reassemble a
     document's page payloads, in span order, into one multi-page record.
-    The inverse of the multi-page split (createTiffFiles:74-123)."""
+    The inverse of the multi-page split (createTiffFiles:74-123).
+
+    Raises (executor-side, surfacing as SparkRuntimeException naming the
+    doc) when a document exceeds `max_pages` — see DEFAULT_MAX_PAGES.
+    max_pages=None disables the plan-level guard (merge_tiff does this
+    and enforces its own typed guard in the encode kernel instead)."""
     pages = (documents
              .select("doc_id", F.explode("spans").alias("s"))
              .where(F.col("s.kind") == "image")
              .select("doc_id", F.col("s.offset").alias("offset"),
                      F.col("s.media_ref").alias("media_ref"))
              .join(media, "media_ref"))
-    return (pages.groupBy("doc_id")
-            .agg(F.transform(
-                F.array_sort(F.collect_list(
-                    F.struct("offset", "media_ref", "width", "height",
-                             "bands", "payload"))),
-                lambda s: F.struct(s["media_ref"].alias("media_ref"),
-                                   s["width"].alias("width"),
-                                   s["height"].alias("height"),
-                                   s["bands"].alias("bands"),
-                                   s["payload"].alias("payload")))
-                .alias("pages"))
-            .withColumn("n_pages", F.size("pages")))
+    out = (pages.groupBy("doc_id")
+           .agg(F.transform(
+               F.array_sort(F.collect_list(
+                   F.struct("offset", "media_ref", "width", "height",
+                            "bands", "payload"))),
+               lambda s: F.struct(s["media_ref"].alias("media_ref"),
+                                  s["width"].alias("width"),
+                                  s["height"].alias("height"),
+                                  s["bands"].alias("bands"),
+                                  s["payload"].alias("payload")))
+               .alias("pages"))
+           .withColumn("n_pages", F.size("pages")))
+    if max_pages is not None:
+        # assert_true returns NULL on pass and raises on violation;
+        # keeping it inside a filter prevents column-pruning from
+        # optimizing the guard away
+        out = out.where(F.assert_true(
+            F.col("n_pages") <= F.lit(max_pages),
+            F.concat(F.lit("merge_pages: document "), F.col("doc_id"),
+                     F.lit(" has "), F.col("n_pages").cast("string"),
+                     F.lit(f" pages > max_pages={max_pages}"))).isNull())
+    return out
 
 
 def merge_tiff(documents: DataFrame, media: DataFrame,
-               packbits: bool = False) -> DataFrame:
+               packbits: bool = False,
+               max_pages: int = DEFAULT_MAX_PAGES) -> DataFrame:
     """Byte-level TIFF merge (ImageIOHelper.mergeTiff:336-371): each
     document's page images, in span order, become ONE multi-page TIFF
     blob (linked IFD chain) — the true sink format of S3, on top of the
-    record-form merge_pages. mapInPandas over the per-doc page arrays."""
+    record-form merge_pages. mapInPandas over the per-doc page arrays.
+    Documents beyond `max_pages` raise a typed InvalidParameterError
+    (executor-side) instead of OOMing — see DEFAULT_MAX_PAGES."""
     from pyspark.sql import types as T
 
     from ..codecs_img import encode_tiff_multipage
+    from ..errors import InvalidParameterError
     from ..oracle.page import decode_payload
-    merged = merge_pages(documents, media)
+    # guard enforced in the kernel below (typed), not the plan
+    merged = merge_pages(documents, media, max_pages=None)
     schema = T.StructType([
         T.StructField("doc_id", T.StringType(), False),
         T.StructField("n_pages", T.IntegerType(), False),
@@ -181,6 +212,11 @@ def merge_tiff(documents: DataFrame, media: DataFrame,
         for pdf in batches:
             out = {"doc_id": [], "n_pages": [], "tiff": []}
             for r in pdf.itertuples(index=False):
+                if len(r.pages) > max_pages:   # typed executor-side guard
+                    raise InvalidParameterError(
+                        f"merge_tiff: document {r.doc_id} has "
+                        f"{len(r.pages)} pages > max_pages={max_pages}",
+                        {"doc_id": r.doc_id, "n_pages": len(r.pages)})
                 imgs = [decode_payload(p["payload"], p["width"],
                                        p["height"], p["bands"])
                         for p in r.pages]

@@ -175,18 +175,20 @@ def decode_payload(payload: bytes, width: int, height: int, bands: int) -> np.nd
 
 def analyze_page(img: np.ndarray, psm: str = "AUTO", roi: Box | None = None,
                  whitelist: str | None = None, recognize: bool = True,
-                 ppi: int = DEFAULT_PPI) -> PageResult:
+                 ppi: int = DEFAULT_PPI,
+                 langs: tuple[str, ...] = ("eng",)) -> PageResult:
     """Full per-page analysis.
 
     recognize=False mirrors analyzeLayout (layout only, no classification
     — initForAnalysePage, TesseractHandle.java:380-384); recognize=True
-    mirrors recognize() (TesseractHandle.recognize:558-567).
+    mirrors recognize() (TesseractHandle.recognize:558-567). `langs` is
+    the resolved language-pack load order (init's multi-language spec).
     """
     ink = otsu_binarize(img)
     blocks = segment(ink, psm=psm, roi=roi)
     if recognize:
         from .recognize import is_numeric, typography_flags
-        recognize_blocks(blocks, whitelist=whitelist)
+        recognize_blocks(blocks, whitelist=whitelist, langs=langs)
         wordlist = dictionary_words()
         for blk in blocks:
             if blk.block_type not in TEXT_KINDS:
@@ -249,7 +251,8 @@ def detect_page_osd(img: np.ndarray, max_words: int = 24) -> dict:
                     "osd_confidence": 0.0, "script": "atlas-5x7"}
 
 
-def document_spans(doc: dict, media_lookup, psm: str = "AUTO") -> list[dict]:
+def document_spans(doc: dict, media_lookup, psm: str = "AUTO",
+                   langs: tuple[str, ...] = ("eng",)) -> list[dict]:
     """Oracle for the flagship query: interleaved doc -> ordered spans.
 
     media_lookup: media_ref -> media row dict (payload/width/height/bands).
@@ -265,7 +268,7 @@ def document_spans(doc: dict, media_lookup, psm: str = "AUTO") -> list[dict]:
         else:
             m = media_lookup(s["media_ref"])
             img = decode_payload(m["payload"], m["width"], m["height"], m["bands"])
-            res = analyze_page(img, psm=psm)
+            res = analyze_page(img, psm=psm, langs=langs)
             for bs in res.block_spans():
                 if bs["kind"] == "text":
                     out.append({"kind": "text", "text": bs["text"],

@@ -34,9 +34,16 @@ def _pad_bitmap(bmp: np.ndarray) -> np.ndarray:
     return out
 
 
-def recognize_blocks(blocks: list[Node], whitelist: str | None = None) -> None:
-    """Classify every SYMBOL node and roll text/confidence up, in place."""
-    mat, chars = atlas_matrix()
+def recognize_blocks(blocks: list[Node], whitelist: str | None = None,
+                     langs: tuple[str, ...] = ("eng",)) -> None:
+    """Classify every SYMBOL node and roll text/confidence up, in place.
+
+    `langs` is the resolved language load order (TesseractHandle.init:
+    399-459 '[~]lang[+[~]lang]*' algebra, resolved by
+    functions.config.resolve_languages): templates are the concatenation
+    of every loaded pack's atlas, so the loaded set CHANGES recognition
+    output, not just config state."""
+    mat, chars = atlas_matrix(tuple(langs))
     if whitelist is not None:
         keep = [i for i, c in enumerate(chars) if c in set(whitelist)]
         if not keep:

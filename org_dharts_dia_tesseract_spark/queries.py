@@ -806,21 +806,23 @@ def token_count(spark, sf_dir):
                    i -> CAST('0x' || substr(md5(substr(text, CAST(i AS INT), 4)), 1, 8) AS BIGINT))
              ELSE [] END AS h
       FROM documents)
-    SELECT doc_id,
+    SELECT doc_id, unnest(
            CASE WHEN len(h) >= 4 THEN
              list_sort(list_distinct(
                list_transform(generate_series(0, len(h) - 4),
                    j -> list_min(h[CAST(j + 1 AS INT):CAST(j + 4 AS INT)]))))
-           ELSE [] END AS fps
+           ELSE [] END) AS fp
     FROM g
 """)
 def winnow_fingerprints(spark, sf_dir):
     """Winnowing document fingerprints (the rolling-hash family): hash
     every character 4-gram with the portable rolling window, keep the
-    minimum per 4-hash window, emit the distinct sorted set — the
-    Schleimer/Wilkerson/Aiken winnowing scheme used for near-dup and
-    plagiarism detection. Entirely higher-order array functions: a
-    narrow map, no shuffle, no UDF."""
+    minimum per 4-hash window, emit the distinct set as one row per
+    (doc_id, fp) — the Schleimer/Wilkerson/Aiken winnowing scheme used
+    for near-dup and plagiarism detection. Entirely higher-order array
+    functions + one explode: a narrow map, no shuffle, no UDF. The
+    exploded (scalar-column) shape is also what a fingerprint
+    inverted-index join consumes downstream."""
     docs = load_table(spark, sf_dir, "documents")
     h = F.when(
         F.length("text") >= 4,
@@ -835,7 +837,7 @@ def winnow_fingerprints(spark, sf_dir):
             F.sequence(F.lit(0), F.size("h") - 4),
             lambda j: F.array_min(F.slice("h", j + 1, 4)))))
     ).otherwise(F.array().cast("array<bigint>"))
-    return d.select("doc_id", fps.alias("fps"))
+    return d.select("doc_id", F.explode(fps).alias("fp"))
 
 
 @q("doc_fingerprint", """

@@ -22,7 +22,13 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 def _canon_val(v) -> str:
     import numpy as np
     if isinstance(v, (list, tuple, np.ndarray)):
-        return "[" + ",".join(_canon_val(x) for x in v) + "]"
+        # The DRIVER's canonicalizer (pandas sort_values over all columns)
+        # crashes on array cells ("unhashable type: 'list'"), so the local
+        # mirror must go red on them too — no tolerance the driver lacks.
+        # Gate queries must emit scalar columns only (explode arrays).
+        raise TypeError(
+            "unhashable type: 'list' — array-typed gate output; emit "
+            "scalar columns (explode / hash the array) instead")
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return "<null>"
     if isinstance(v, float):

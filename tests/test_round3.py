@@ -1,0 +1,273 @@
+"""Round-3 behaviors: TIFF DEFLATE codec, PNM \r\n headers, language-pack
+algebra wired through recognition, merge max_pages guard, UNLV Latin-1
+degradation, fixed-order hyperplane signatures, IVF sidecar via Spark IO.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+import org_dharts_dia_tesseract_spark.operators.similarity as S
+from org_dharts_dia_tesseract_spark.codecs_img import (decode_tiff,
+                                                       decode_tiff_pages,
+                                                       encode_tiff,
+                                                       encode_tiff_multipage,
+                                                       decode_pnm)
+from org_dharts_dia_tesseract_spark.datagen import fixture_page
+from org_dharts_dia_tesseract_spark.errors import InvalidParameterError
+from org_dharts_dia_tesseract_spark.functions.config import resolve_languages
+from org_dharts_dia_tesseract_spark.oracle.page import analyze_page
+
+
+def _rand_img(shape, seed=7):
+    return np.random.default_rng(seed).integers(
+        0, 256, size=shape, dtype=np.uint8)
+
+
+# -- codecs -----------------------------------------------------------------
+
+def test_tiff_deflate_roundtrip_grey_and_rgb():
+    for shape in ((23, 31), (17, 13, 3)):
+        img = _rand_img(shape)
+        blob = encode_tiff(img, compression="deflate")
+        assert np.array_equal(decode_tiff(blob), img)
+        # deflate on low-entropy data must actually compress
+        flat = np.full((64, 64), 200, dtype=np.uint8)
+        assert len(encode_tiff(flat, compression="deflate")) < flat.size // 2
+
+
+def test_tiff_deflate_multipage_roundtrip():
+    pages = [_rand_img((9, 14), 1), _rand_img((21, 6), 2)]
+    blob = encode_tiff_multipage(pages, compression="deflate")
+    got = decode_tiff_pages(blob)
+    assert len(got) == 2
+    for g, p in zip(got, pages):
+        assert np.array_equal(g, p)
+
+
+def test_tiff_unknown_compression_rejected():
+    with pytest.raises(ValueError, match="compression"):
+        encode_tiff(_rand_img((4, 4)), compression="jpeg")
+
+
+def test_pnm_crlf_after_maxval_decodes():
+    img = _rand_img((5, 8))
+    # Windows-writer style header: \r\n after maxval
+    blob = b"P5\n8 5\n255\r\n" + img.tobytes()
+    assert np.array_equal(decode_pnm(blob), img)
+    # a single \r separator must also work (exactly one whitespace byte)
+    blob2 = b"P5\n8 5\n255\r" + img.tobytes()
+    assert np.array_equal(decode_pnm(blob2), img)
+
+
+# -- PNG codec --------------------------------------------------------------
+
+def _png_with_filters(img: np.ndarray, filters: list[int]) -> bytes:
+    """Hand-build a PNG whose scanline y uses filters[y], computing the
+    filtered bytes with an independent straight-from-the-spec reference
+    implementation (so decode_png's defiltering is tested against the
+    spec, not against itself)."""
+    import struct
+    import zlib
+    h, w = img.shape[:2]
+    bands = 1 if img.ndim == 2 else img.shape[2]
+    rows = img.reshape(h, w * bands).astype(int)
+    stride = w * bands
+    out = bytearray()
+    prev = [0] * stride
+    for y in range(h):
+        f = filters[y]
+        out.append(f)
+        rec = list(rows[y])
+        for x in range(stride):
+            a = rec[x - bands] if x >= bands else 0
+            b = prev[x]
+            c = prev[x - bands] if x >= bands else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            out.append((rec[x] - pred) & 255)
+        prev = rec
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0 if bands == 1 else 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(out))) + chunk(b"IEND", b""))
+
+
+def test_png_roundtrip_grey_and_rgb():
+    from org_dharts_dia_tesseract_spark.codecs_img import (decode_png,
+                                                           encode_png,
+                                                           sniff_codec)
+    for shape in ((11, 7), (6, 9, 3)):
+        img = _rand_img(shape, seed=5)
+        blob = encode_png(img)
+        assert sniff_codec(blob[:8]) == "png"
+        assert np.array_equal(decode_png(blob), img)
+
+
+def test_png_all_filters_decode_per_spec():
+    from org_dharts_dia_tesseract_spark.codecs_img import decode_png
+    img = _rand_img((10, 6), seed=9)
+    blob = _png_with_filters(img, [0, 1, 2, 3, 4, 4, 3, 2, 1, 0])
+    assert np.array_equal(decode_png(blob), img)
+    rgb = _rand_img((5, 4, 3), seed=11)
+    blob = _png_with_filters(rgb, [4, 3, 2, 1, 0])
+    assert np.array_equal(decode_png(blob), rgb)
+
+
+def test_png_unsupported_variants_rejected():
+    from org_dharts_dia_tesseract_spark.codecs_img import decode_png
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+    # 16-bit depth
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    blob = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+            + chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError):
+        decode_png(blob)
+    with pytest.raises(ValueError):
+        decode_png(b"nonsense")
+
+
+# -- language packs through recognition -------------------------------------
+
+def test_resolve_languages_algebra():
+    assert resolve_languages("eng") == ("eng",)
+    assert resolve_languages("hin+eng") == ("hin", "eng")
+    assert resolve_languages("eng+hin+~hin") == ("eng",)
+    with pytest.raises(InvalidParameterError):
+        resolve_languages("eng+~eng")        # empty load set
+    with pytest.raises(InvalidParameterError):
+        resolve_languages("fra")             # pack not installed
+
+
+def test_language_pack_changes_recognition():
+    img = fixture_page("simple_poetry")
+    eng = analyze_page(img, langs=("eng",)).page_text()
+    hin = analyze_page(img, langs=("hin",)).page_text()
+    assert eng != hin                        # different templates, diff text
+    assert len(eng) == len(hin)              # same layout, same symbol count
+    # pages render with eng glyphs, so eng templates match at distance ~0
+    # and win every tie in the union -> eng+hin reproduces eng exactly
+    both = analyze_page(img, langs=("eng", "hin")).page_text()
+    assert both == eng
+    # ... and the algebra makes '~hin' a true no-op on output
+    spec = resolve_languages("eng+hin+~hin")
+    assert analyze_page(img, langs=spec).page_text() == eng
+
+
+def test_extract_spans_languages_spec(spark):
+    from org_dharts_dia_tesseract_spark.operators import extract_spans
+    from org_dharts_dia_tesseract_spark.sources import corpus_tables
+    docs, media = corpus_tables(spark, 8, partitions=8)
+    eng = extract_spans(docs, media).orderBy("doc_id", "seq").collect()
+    hin = extract_spans(docs, media, languages="hin") \
+        .orderBy("doc_id", "seq").collect()
+    assert [(r.doc_id, r.seq, r.kind) for r in eng] == \
+        [(r.doc_id, r.seq, r.kind) for r in hin]   # same structure
+    assert any(a.text != b.text for a, b in zip(eng, hin)
+               if a.kind == "text")                # different recognition
+
+
+# -- merge page-count guard -------------------------------------------------
+
+def _tiny_doc(spark, n_pages):
+    from org_dharts_dia_tesseract_spark.sources.tables import (
+        DOCUMENTS_SCHEMA, MEDIA_SCHEMA)
+    img = np.full((4, 5), 255, dtype=np.uint8)
+    spans = [{"kind": "image", "text": None, "media_ref": f"m{i}",
+              "offset": i} for i in range(n_pages)]
+    docs = spark.createDataFrame([{"doc_id": "d0", "spans": spans}],
+                                 DOCUMENTS_SCHEMA)
+    media = spark.createDataFrame(
+        [{"media_ref": f"m{i}", "width": 5, "height": 4, "bands": 1,
+          "dpi": None, "payload": img.tobytes()} for i in range(n_pages)],
+        MEDIA_SCHEMA)
+    return docs, media
+
+
+def test_merge_pages_max_pages_guard(spark):
+    from org_dharts_dia_tesseract_spark.operators.sinks import (merge_pages,
+                                                                merge_tiff)
+    docs, media = _tiny_doc(spark, 3)
+    assert merge_pages(docs, media, max_pages=3).count() == 1
+    with pytest.raises(Exception, match="max_pages"):
+        merge_pages(docs, media, max_pages=2).count()
+    with pytest.raises(Exception, match="max_pages"):
+        merge_tiff(docs, media, max_pages=2).count()
+    assert merge_tiff(docs, media).count() == 1   # default cap is generous
+
+
+def test_merge_tiff_kernel_typed_error(spark):
+    """merge_tiff enforces the cap in its encode kernel with the TYPED
+    InvalidParameterError (surfacing through Spark as a PythonException
+    that names the type, the doc and the limit)."""
+    from org_dharts_dia_tesseract_spark.operators.sinks import merge_tiff
+    docs, media = _tiny_doc(spark, 3)
+    with pytest.raises(Exception) as ei:
+        merge_tiff(docs, media, max_pages=2).count()
+    msg = str(ei.value)
+    assert "InvalidParameterError" in msg and "max_pages=2" in msg \
+        and "d0" in msg
+
+
+# -- UNLV Latin-1 degradation -----------------------------------------------
+
+def test_unlv_latin1_degradation(spark):
+    from org_dharts_dia_tesseract_spark.operators.sinks import unlv_text
+    rows = []
+    for i, (ch, conf) in enumerate([("A", 95.0), ("é", 95.0),
+                                    ("€", 95.0), ("B", 40.0)]):
+        rows.append({"doc_id": "d", "media_ref": "m", "level": "SYMBOL",
+                     "block_id": 0, "para_id": 0, "line_id": 0,
+                     "word_id": 0, "sym_id": i, "seq": i, "text": ch,
+                     "confidence": conf})
+    h = spark.createDataFrame(rows)
+    out = unlv_text(h).collect()[0]["unlv_text"]
+    # é (U+00E9) is Latin-1 -> kept; € (U+20AC) -> '~'; conf<50 -> '~';
+    # word contains a <80 symbol -> '^' prefix
+    assert out == "^Aé~~"
+
+
+# -- hyperplane signature: fixed-order reduction ----------------------------
+
+def test_hyperplane_signature_matches_left_to_right_fold(spark):
+    import pandas as pd
+    dim, n_planes = 16, 8
+    rng = np.random.default_rng(3)
+    vecs = [rng.standard_normal(dim).astype(np.float32) for _ in range(50)]
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(50), "embedding": [list(map(float, v))
+                                                         for v in vecs]}))
+    got = {r["vec_id"]: r["sig"] for r in df.select(
+        "vec_id", S.hyperplane_signature("embedding", n_planes).alias("sig")
+    ).collect()}
+    W = S._plane_matrix(n_planes, dim)
+    for i, v in enumerate(vecs):
+        exp = ""
+        for p in range(n_planes):
+            acc = 0.0
+            for j in range(dim):       # strict left-to-right float64 fold
+                acc += float(v[j]) * W[p, j]
+            exp += "1" if acc >= 0 else "0"
+        assert got[i] == exp
