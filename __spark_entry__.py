@@ -155,6 +155,17 @@ def _ocr_spans_png_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_spans(docs, reencode_media(media, "png"))
 
 
+def _ocr_spans_gif_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end span extraction over GIF-encoded media payloads (real
+    variable-width LZW, codecs_img.py:decode_gif). Spans must equal the
+    raw-payload run's."""
+    from org_dharts_dia_tesseract_spark.operators import extract_spans
+    from org_dharts_dia_tesseract_spark.operators.multimodal import \
+        reencode_media
+    docs, media = _interleaved_corpus(spark, sf_dir, 200)
+    return extract_spans(docs, reencode_media(media, "gif"))
+
+
 def _ocr_spans_lang_hin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span extraction initialized with the SECOND installed language
     pack ('hin': a different deterministic glyph atlas). Recognition
@@ -186,7 +197,8 @@ _PRIORITY = [
     "ocr_spans_bmp_media", "ocr_unlv_text", "ocr_page_osd",
     "ocr_tiff_merge",
     # (1c) new this round
-    "ocr_spans_deflate_media", "ocr_spans_png_media", "ocr_spans_lang_hin",
+    "ocr_spans_deflate_media", "ocr_spans_png_media", "ocr_spans_gif_media",
+    "ocr_spans_lang_hin",
     # (2) last green in round 1 — due a fresh row
     "doc_fingerprint", "embedding_norms", "similarity_topk_cosine",
     "anti_join_idle_customers", "semi_join_active_parts",
@@ -203,7 +215,7 @@ _PRIORITY = [
     # with a green row at most one round old)
     "spans_explode_seq", "begin_final_flags", "box_union", "roi_filter",
     "utf8_page_text", "hocr_output", "box_text_output", "char_whitelist",
-    "lang_set_algebra", "word_flags", "mean_word_conf",
+    "lang_set_algebra", "word_flags",
 ]
 
 
@@ -223,6 +235,7 @@ _RASTER_GATES = {
     "ocr_spans_bmp_media": _ocr_spans_bmp_media,
     "ocr_spans_deflate_media": _ocr_spans_deflate_media,
     "ocr_spans_png_media": _ocr_spans_png_media,
+    "ocr_spans_gif_media": _ocr_spans_gif_media,
     "ocr_spans_lang_hin": _ocr_spans_lang_hin,
     "ocr_unlv_text": _ocr_unlv_text,
     "ocr_page_osd": _ocr_page_osd,

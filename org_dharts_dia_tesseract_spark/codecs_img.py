@@ -1,18 +1,21 @@
-"""Pure-numpy image codecs: BMP, PNM, TIFF (none/DEFLATE/PackBits).
+"""Pure-numpy image codecs: BMP, PNM, TIFF, PNG, GIF.
 
 Rebuilds the decodable subset of the reference's ImageIO surface
 (ImageIOHelper.java:263-327 decodes TIFF/JPEG/GIF/PNG/BMP/PNM/JP2 via
 javax.imageio) that is implementable without an imaging library:
 uncompressed BMP (8-bit greyscale palette + 24-bit BGR), binary/ASCII PNM
-(P2/P3/P5/P6), and TIFF (single or multi strip, compression none=1,
+(P2/P3/P5/P6), TIFF (single or multi strip, compression none=1,
 Adobe/legacy DEFLATE=8/32946 via stdlib zlib, or PackBits=32773, grey or
-RGB). JPEG-family formats remain stubbed in operators.multimodal (entropy
-coders; the env has no PIL/scipy). PDF stays rejected, mirroring
-ImageIOHelper.java:278-282.
+RGB), PNG (8-bit grey/RGB, zlib IDAT, all five scanline filters), and
+GIF 87a/89a (8-bit palette, real variable-width LZW in both directions,
+interlace on decode). JPEG/JP2 remain stubbed in operators.multimodal
+(Huffman+DCT / arithmetic entropy coders; the env has no PIL/scipy).
+PDF stays rejected, mirroring ImageIOHelper.java:278-282.
 
 Every decoder returns uint8 arrays shaped (h, w) for 1 band or
 (h, w, bands); every encoder is its exact inverse (round-trip tested).
-All loops are vectorized numpy over rows/strips — nothing per-pixel.
+Loops are vectorized numpy over rows/strips except where the format is
+inherently sequential (LZW symbol stream, PNG Average/Paeth filters).
 """
 
 from __future__ import annotations
@@ -36,6 +39,8 @@ def sniff_codec(payload: bytes) -> str | None:
         return "tiff"
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if payload[:4] == b"%PDF":
         return "pdf"
     return None
@@ -519,7 +524,179 @@ def decode_png(data: bytes) -> np.ndarray:
     return img.reshape((h, w) if bands == 1 else (h, w, bands))
 
 
+# ---------------------------------------------------------------------------
+# GIF (87a/89a, 8-bit palette; real LZW both ways; interlace on decode)
+# ---------------------------------------------------------------------------
+
+def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
+    """GIF-variant LZW: variable 3..12-bit codes, CLEAR resets the
+    dictionary when it fills."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = n_bits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, n_bits
+        acc |= code << n_bits
+        n_bits += width
+        while n_bits >= 8:
+            out.append(acc & 255)
+            acc >>= 8
+            n_bits -= 8
+
+    table: dict[tuple, int] = {(i,): i for i in range(clear)}
+    next_code, width = end + 1, min_code_size + 1
+    emit(clear, width)
+    seq: tuple = ()
+    for px in indices.tolist():
+        cand = seq + (px,)
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq], width)
+        if next_code < 4096:
+            table[cand] = next_code
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        else:                                   # dictionary full -> reset
+            emit(clear, width)
+            table = {(i,): i for i in range(clear)}
+            next_code, width = end + 1, min_code_size + 1
+        seq = (px,)
+    if seq:
+        emit(table[seq], width)
+    emit(end, width)
+    if n_bits:
+        out.append(acc & 255)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    out = np.empty(n_pixels, dtype=np.uint8)
+    pos = 0
+    acc = n_bits = bit_i = 0
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    prev: bytes | None = None
+    while pos < n_pixels:
+        while n_bits < width:
+            if bit_i >= len(data):
+                raise ValueError("GIF LZW stream truncated")
+            acc |= data[bit_i] << n_bits
+            bit_i += 1
+            n_bits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n_bits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width, prev = min_code_size + 1, None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):                # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"GIF LZW code {code} out of range")
+        if prev is not None and len(table) == (1 << width) and width < 12:
+            width += 1
+        out[pos: pos + len(entry)] = np.frombuffer(entry, dtype=np.uint8)
+        pos += len(entry)
+        prev = entry
+    return out[:n_pixels]
+
+
+def encode_gif(img: np.ndarray) -> bytes:
+    """GIF89a with a 256-entry greyscale global palette (pixel index ==
+    grey level) and real LZW image data. Greyscale (h, w) input only —
+    arbitrary RGB exceeds GIF's 256-color palette model."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim != 2:
+        raise ValueError("GIF encoder supports 1-band (greyscale) images")
+    h, w = img.shape
+    palette = bytes(b for v in range(256) for b in (v, v, v))
+    lzw = _lzw_encode(img.ravel(), 8)
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)   # GCT: 256 entries
+    out += palette
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)   # image desc
+    out += bytes([8])                                        # LZW min code
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i: i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"                                       # end, trailer
+    return bytes(out)
+
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """First image of a GIF87a/89a: global/local palette, real LZW,
+    interlace supported; extensions skipped. A grey palette yields
+    (h, w); a color palette yields (h, w, 3)."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    _sw, _sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x21:                        # extension: skip sub-blocks
+            pos += 1
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+        elif block == 0x2C:                      # image descriptor
+            _l, _t, w, h, ipacked = struct.unpack_from("<HHHHB", data, pos)
+            pos += 9
+            pal = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 7)
+                pal = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if pal is None:
+                raise ValueError("GIF image has no color table")
+            min_code = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while data[pos]:
+                ln = data[pos]
+                lzw += data[pos + 1: pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = _lzw_decode(bytes(lzw), min_code, w * h).reshape(h, w)
+            if ipacked & 0x40:                   # deinterlace
+                rows = [y for start, step in _GIF_INTERLACE
+                        for y in range(start, h, step)]
+                un = np.empty_like(idx)
+                un[rows] = idx
+                idx = un
+            if np.all(pal[:, 0] == pal[:, 1]) and np.all(pal[:, 1] == pal[:, 2]):
+                return np.ascontiguousarray(pal[idx, 0])     # grey palette
+            return np.ascontiguousarray(pal[idx])            # palette RGB
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"GIF: unexpected block 0x{block:02x}")
+    raise ValueError("GIF contains no image data")
+
+
 DECODERS = {"bmp": decode_bmp, "pnm": decode_pnm, "tiff": decode_tiff,
-            "png": decode_png}
+            "png": decode_png, "gif": decode_gif}
 ENCODERS = {"bmp": encode_bmp, "pnm": encode_pnm, "tiff": encode_tiff,
-            "png": encode_png}
+            "png": encode_png, "gif": encode_gif}

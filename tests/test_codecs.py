@@ -107,14 +107,17 @@ def test_decode_payload_sniffing():
 
 
 def test_multimodal_decode_codecs():
-    for codec in ("bmp", "pnm", "tiff"):
+    for codec in ("bmp", "pnm", "tiff", "png"):
         enc = C.ENCODERS[codec](RGB)
         assert (M.decode(enc, 9, 15, 3, codec=codec) == RGB).all()
+    grey = RGB[:, :, 0]
+    assert (M.decode(C.ENCODERS["gif"](grey), 9, 15, 1, codec="gif")
+            == grey).all()
     with pytest.raises(NotImplementedError):
-        M.decode(b"xx", 1, 1, 1, codec="png")
+        M.decode(b"xx", 1, 1, 1, codec="jpeg")
 
 
-@pytest.mark.parametrize("codec", ["bmp", "tiff"])
+@pytest.mark.parametrize("codec", ["bmp", "tiff", "png", "gif"])
 def test_pipeline_over_encoded_media(spark, codec):
     """The invariant survives the codec path: spans from codec-encoded
     payloads == spans from raw payloads, byte for byte."""

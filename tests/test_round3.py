@@ -149,6 +149,58 @@ def test_png_unsupported_variants_rejected():
         decode_png(b"nonsense")
 
 
+# -- GIF codec --------------------------------------------------------------
+
+def test_gif_roundtrip_random_and_patterned():
+    from org_dharts_dia_tesseract_spark.codecs_img import (decode_gif,
+                                                           encode_gif,
+                                                           sniff_codec)
+    img = _rand_img((37, 53), seed=13)
+    blob = encode_gif(img)
+    assert sniff_codec(blob[:8]) == "gif"
+    assert np.array_equal(decode_gif(blob), img)
+    # low entropy: long LZW matches, code-width growth, KwKwK pattern case
+    pat = np.zeros((40, 80), dtype=np.uint8)
+    pat[::3] = 7
+    pat[:, ::5] = 255
+    assert np.array_equal(decode_gif(encode_gif(pat)), pat)
+    # big random forces 12-bit width + dictionary reset (>4096 entries)
+    big = _rand_img((120, 150), seed=17)
+    assert np.array_equal(decode_gif(encode_gif(big)), big)
+
+
+def test_gif_interlaced_and_color_palette_decode():
+    from org_dharts_dia_tesseract_spark.codecs_img import (_lzw_encode,
+                                                           decode_gif)
+    import struct
+    # hand-build: 4-entry COLOR palette, interlaced 8x4 image
+    h, w = 8, 4
+    idx = np.arange(h * w, dtype=np.uint8).reshape(h, w) % 4
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30])
+    order = [y for s, st in ((0, 8), (4, 8), (2, 4), (1, 2))
+             for y in range(s, h, st)]
+    stored = idx[order]                      # rows in interlace pass order
+    lzw = _lzw_encode(stored.ravel(), 2)     # min code size 2 (4 colors)
+    out = bytearray()
+    out += b"GIF89a" + struct.pack("<HHBBB", w, h, 0x81, 0, 0) + pal
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40)   # interlaced
+    out += bytes([2])
+    for i in range(0, len(lzw), 255):
+        c = lzw[i:i + 255]
+        out += bytes([len(c)]) + c
+    out += b"\x00\x3b"
+    got = decode_gif(bytes(out))
+    assert got.shape == (h, w, 3)            # color palette -> RGB
+    exp = np.frombuffer(pal, np.uint8).reshape(4, 3)[idx]
+    assert np.array_equal(got, exp)
+
+
+def test_gif_rejects_rgb_encode():
+    from org_dharts_dia_tesseract_spark.codecs_img import encode_gif
+    with pytest.raises(ValueError, match="greyscale"):
+        encode_gif(_rand_img((4, 4, 3)))
+
+
 # -- language packs through recognition -------------------------------------
 
 def test_resolve_languages_algebra():
