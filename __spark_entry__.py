@@ -166,6 +166,19 @@ def _ocr_spans_gif_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_spans(docs, reencode_media(media, "gif"))
 
 
+def _ocr_spans_jpeg_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span extraction over baseline-JPEG media payloads (real greyscale
+    Huffman+DCT coder, codecs_img.py). JPEG is LOSSY, but pixel error at
+    quality 90 (<~25 levels) is far inside the pipeline's >170-level
+    ink/background binarization margin, so spans equal the raw run's —
+    the oracle parquet pins exactly that."""
+    from org_dharts_dia_tesseract_spark.operators import extract_spans
+    from org_dharts_dia_tesseract_spark.operators.multimodal import \
+        reencode_media
+    docs, media = _interleaved_corpus(spark, sf_dir, 200)
+    return extract_spans(docs, reencode_media(media, "jpeg"))
+
+
 def _ocr_spans_lang_hin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span extraction initialized with the SECOND installed language
     pack ('hin': a different deterministic glyph atlas). Recognition
@@ -198,7 +211,7 @@ _PRIORITY = [
     "ocr_tiff_merge",
     # (1c) new this round
     "ocr_spans_deflate_media", "ocr_spans_png_media", "ocr_spans_gif_media",
-    "ocr_spans_lang_hin",
+    "ocr_spans_jpeg_media", "ocr_spans_lang_hin",
     # (2) last green in round 1 — due a fresh row
     "doc_fingerprint", "embedding_norms", "similarity_topk_cosine",
     "anti_join_idle_customers", "semi_join_active_parts",
@@ -215,7 +228,7 @@ _PRIORITY = [
     # with a green row at most one round old)
     "spans_explode_seq", "begin_final_flags", "box_union", "roi_filter",
     "utf8_page_text", "hocr_output", "box_text_output", "char_whitelist",
-    "lang_set_algebra", "word_flags",
+    "lang_set_algebra",
 ]
 
 
@@ -236,6 +249,7 @@ _RASTER_GATES = {
     "ocr_spans_deflate_media": _ocr_spans_deflate_media,
     "ocr_spans_png_media": _ocr_spans_png_media,
     "ocr_spans_gif_media": _ocr_spans_gif_media,
+    "ocr_spans_jpeg_media": _ocr_spans_jpeg_media,
     "ocr_spans_lang_hin": _ocr_spans_lang_hin,
     "ocr_unlv_text": _ocr_unlv_text,
     "ocr_page_osd": _ocr_page_osd,

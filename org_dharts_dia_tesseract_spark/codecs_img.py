@@ -1,4 +1,4 @@
-"""Pure-numpy image codecs: BMP, PNM, TIFF, PNG, GIF.
+"""Pure-numpy image codecs: BMP, PNM, TIFF, PNG, GIF, JPEG.
 
 Rebuilds the decodable subset of the reference's ImageIO surface
 (ImageIOHelper.java:263-327 decodes TIFF/JPEG/GIF/PNG/BMP/PNM/JP2 via
@@ -8,12 +8,14 @@ uncompressed BMP (8-bit greyscale palette + 24-bit BGR), binary/ASCII PNM
 Adobe/legacy DEFLATE=8/32946 via stdlib zlib, or PackBits=32773, grey or
 RGB), PNG (8-bit grey/RGB, zlib IDAT, all five scanline filters), and
 GIF 87a/89a (8-bit palette, real variable-width LZW in both directions,
-interlace on decode). JPEG/JP2 remain stubbed in operators.multimodal
-(Huffman+DCT / arithmetic entropy coders; the env has no PIL/scipy).
-PDF stays rejected, mirroring ImageIOHelper.java:278-282.
+interlace on decode), and baseline greyscale JPEG (real Huffman + 8x8
+DCT; the one LOSSY codec — see its section). Only JP2 remains stubbed in
+operators.multimodal (arithmetic/wavelet coder; the env has no
+PIL/scipy). PDF stays rejected, mirroring ImageIOHelper.java:278-282.
 
 Every decoder returns uint8 arrays shaped (h, w) for 1 band or
-(h, w, bands); every encoder is its exact inverse (round-trip tested).
+(h, w, bands); every encoder except JPEG (inherently lossy) is its exact
+inverse (round-trip tested).
 Loops are vectorized numpy over rows/strips except where the format is
 inherently sequential (LZW symbol stream, PNG Average/Paeth filters).
 """
@@ -41,6 +43,8 @@ def sniff_codec(payload: bytes) -> str | None:
         return "png"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     if payload[:4] == b"%PDF":
         return "pdf"
     return None
@@ -696,7 +700,345 @@ def decode_gif(data: bytes) -> np.ndarray:
     raise ValueError("GIF contains no image data")
 
 
+# ---------------------------------------------------------------------------
+# JPEG (baseline DCT, GREYSCALE only; LOSSY — the one non-exact codec)
+# ---------------------------------------------------------------------------
+#
+# Baseline sequential JFIF with a single 8-bit component: 8x8 DCT as a
+# matrix product (einsum over all blocks), Annex-K luminance quant table
+# scaled by libjpeg's quality formula, canonical Huffman codes BUILT
+# LOCALLY and shipped in the file's own DHT segments (decoders read DHT,
+# so no dependence on the "typical" Annex-K code tables). The decoder
+# parses DQT/DHT/SOF0/DRI/SOS, handles byte stuffing and RSTn markers,
+# and rejects progressive (SOF2) and multi-component images. JPEG is
+# lossy: round-trips are near-equal, not equal — but the OCR pipeline
+# binarizes with a >170-level ink/background margin, so spans over
+# JPEG-encoded media equal the raw run's (gate ocr_spans_jpeg_media).
+
+_JPEG_QBASE = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99]], dtype=np.float64)
+
+
+def _jpeg_zigzag() -> np.ndarray:
+    """The 64 (row, col) pairs in JPEG zigzag order, generated from the
+    diagonal-walk rule rather than hard-coded."""
+    order = []
+    for s in range(15):
+        cells = [(i, s - i) for i in range(max(0, s - 7), min(s, 7) + 1)]
+        order.extend(cells if s % 2 else cells[::-1])
+    return np.array([r * 8 + c for r, c in order])
+
+
+_ZZ = _jpeg_zigzag()
+
+
+def _dct_matrix() -> np.ndarray:
+    n = np.arange(8)
+    T = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16)
+    T[0] *= np.sqrt(0.5)
+    return T * 0.5
+
+
+_DCT = _dct_matrix()
+
+
+def _jpeg_quant_table(quality: int) -> np.ndarray:
+    quality = min(max(int(quality), 1), 100)
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (_JPEG_QBASE * scale + 50) // 100
+    return np.clip(q, 1, 255).astype(np.int32)
+
+
+# local canonical Huffman specs: every DC category 4 bits, every AC
+# symbol 9 bits (valid prefix codes; suboptimal size, exact semantics)
+_DC_SYMBOLS = list(range(12))
+_AC_SYMBOLS = ([0x00, 0xF0]
+               + [(r << 4) | s for r in range(16) for s in range(1, 11)])
+
+
+def _canonical_codes(bits: list[int], symbols: list[int]) -> dict[int, tuple]:
+    """JPEG canonical code assignment: symbol -> (code, length)."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[symbols[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+_DC_BITS = [0, 0, 0, 12] + [0] * 12          # 12 symbols, all 4-bit
+_AC_BITS = [0] * 8 + [len(_AC_SYMBOLS)] + [0] * 7   # all 9-bit
+_DC_CODES = _canonical_codes(_DC_BITS, _DC_SYMBOLS)
+_AC_CODES = _canonical_codes(_AC_BITS, _AC_SYMBOLS)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 255
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)          # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)   # pad with 1s
+        return bytes(self.out)
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
+    """Baseline greyscale JFIF. Lossy (see module notes)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim != 2:
+        raise ValueError("JPEG encoder supports 1-band (greyscale) images")
+    h, w = img.shape
+    Q = _jpeg_quant_table(quality)
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(img, ((0, ph - h), (0, pw - w)), mode="edge")
+    blocks = (padded.reshape(ph // 8, 8, pw // 8, 8)
+              .transpose(0, 2, 1, 3).reshape(-1, 8, 8).astype(np.float64)
+              - 128.0)
+    coeffs = np.einsum("ij,bjk,lk->bil", _DCT, blocks, _DCT)
+    quant = np.round(coeffs / Q).astype(np.int32)
+    zz = quant.reshape(-1, 64)[:, _ZZ]
+    bw = _BitWriter()
+    pred = 0
+    for blk in zz:
+        diff = int(blk[0]) - pred
+        pred = int(blk[0])
+        s = _category(diff)
+        bw.write(*_DC_CODES[s])                # (code, length)
+        if s:
+            bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+        k = 1
+        while k < 64:
+            run = 0
+            while k < 64 and blk[k] == 0:
+                run += 1
+                k += 1
+            if k == 64:
+                bw.write(*_AC_CODES[0x00])     # EOB
+                break
+            while run >= 16:
+                bw.write(*_AC_CODES[0xF0])     # ZRL
+                run -= 16
+            v = int(blk[k])
+            s = _category(v)
+            bw.write(*_AC_CODES[(run << 4) | s])
+            bw.write(v if v > 0 else v + (1 << s) - 1, s)
+            k += 1
+    data = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def dht(cls: int, bits: list[int], symbols: list[int]) -> bytes:
+        return bytes([cls << 4]) + bytes(bits) + bytes(symbols)
+
+    out = bytearray(b"\xff\xd8")                               # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, bytes([0]) + bytes(Q.reshape(-1)[_ZZ].tolist()))
+    out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xFFC4, dht(0, _DC_BITS, _DC_SYMBOLS))
+    out += seg(0xFFC4, dht(1, _AC_BITS, _AC_SYMBOLS))
+    out += seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += data
+    out += b"\xff\xd9"                                          # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        while self.n <= 24:
+            if self.pos >= len(self.data):
+                self.acc = (self.acc << 8) | 0xFF   # pad past end
+                self.n += 8
+                continue
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0
+                if nxt == 0x00:
+                    self.pos += 1               # stuffed byte
+                else:
+                    self.pos -= 1               # marker: stop consuming
+                    self.acc = (self.acc << 8) | 0xFF
+                    self.n += 8
+                    continue
+            self.acc = (self.acc << 8) | b
+            self.n += 8
+
+    def bits(self, k: int) -> int:
+        if k == 0:
+            return 0
+        self._fill()
+        v = (self.acc >> (self.n - k)) & ((1 << k) - 1)
+        self.n -= k
+        return v
+
+    def huff(self, table: dict[tuple, int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bits(1)
+            if (length, code) in table:
+                return table[(length, code)]
+        raise ValueError("JPEG: invalid Huffman code")
+
+    def align(self) -> None:
+        self.n -= self.n % 8
+
+    def at_marker(self) -> int | None:
+        """If byte-aligned input sits at a marker, return it (no consume)."""
+        p = self.pos
+        while p + 1 < len(self.data):
+            if self.data[p] == 0xFF and self.data[p + 1] != 0x00:
+                return self.data[p + 1]
+            break
+        return None
+
+
+def _extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline sequential greyscale JPEG (DHT-driven Huffman, DRI/RSTn
+    supported; progressive and color rejected)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple, dict[tuple, int]] = {}
+    h = w = None
+    comp_q = 0
+    restart = 0
+    scan = None
+    dc_id = ac_id = 0
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG: marker expected")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack_from(">H", data, pos + 2)
+        payload = data[pos + 4: pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xDB:                     # DQT (may hold several)
+            i = 0
+            while i < len(payload):
+                pq, tq = payload[i] >> 4, payload[i] & 15
+                if pq != 0:
+                    raise NotImplementedError("JPEG 16-bit quant tables")
+                tab = np.zeros(64, dtype=np.int32)
+                tab[_ZZ] = np.frombuffer(payload, np.uint8, 64, i + 1)
+                qtabs[tq] = tab.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:                   # DHT (may hold several)
+            i = 0
+            while i < len(payload):
+                cls, tid = payload[i] >> 4, payload[i] & 15
+                bits = list(payload[i + 1: i + 17])
+                n = sum(bits)
+                symbols = list(payload[i + 17: i + 17 + n])
+                table: dict[tuple, int] = {}
+                code, k = 0, 0
+                for length in range(1, 17):
+                    for _ in range(bits[length - 1]):
+                        table[(length, code)] = symbols[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                htabs[(cls, tid)] = table
+                i += 17 + n
+        elif marker == 0xC0:                   # SOF0 baseline
+            _prec, h, w, ncomp = struct.unpack_from(">BHHB", payload, 0)
+            if ncomp != 1:
+                raise NotImplementedError(
+                    "JPEG: only single-component (greyscale) supported")
+            # payload: prec(1) h(2) w(2) ncomp(1) [id(1) samp(1) Tq(1)]
+            comp_q = payload[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF{marker - 0xC0} (non-baseline) unsupported")
+        elif marker == 0xDD:                   # DRI
+            (restart,) = struct.unpack_from(">H", payload, 0)
+        elif marker == 0xDA:                   # SOS: entropy data follows
+            dc_id, ac_id = payload[2] >> 4, payload[2] & 15
+            scan = data[pos:]
+            break
+    if scan is None or h is None:
+        raise ValueError("JPEG: missing SOS/SOF")
+    dc_tab, ac_tab = htabs[(0, dc_id)], htabs[(1, ac_id)]
+    Q = qtabs[comp_q]
+    bh, bw_ = -(-h // 8), -(-w // 8)
+    zz = np.zeros((bh * bw_, 64), dtype=np.int32)
+    br = _BitReader(scan)
+    pred = 0
+    for b in range(bh * bw_):
+        if restart and b and b % restart == 0:
+            br.align()
+            m = br.at_marker()
+            if m is not None and 0xD0 <= m <= 0xD7:
+                br.pos += 2                    # consume RSTn
+                br.acc = br.n = 0
+            pred = 0
+        s = br.huff(dc_tab)
+        pred += _extend(br.bits(s), s) if s else 0
+        zz[b, 0] = pred
+        k = 1
+        while k < 64:
+            sym = br.huff(ac_tab)
+            if sym == 0x00:                    # EOB
+                break
+            if sym == 0xF0:                    # ZRL
+                k += 16
+                continue
+            k += sym >> 4
+            size = sym & 15
+            if k > 63:
+                raise ValueError("JPEG: AC index out of range")
+            zz[b, k] = _extend(br.bits(size), size)
+            k += 1
+    blocks = np.zeros((bh * bw_, 64), dtype=np.int32)
+    blocks[:, _ZZ] = zz
+    coeffs = blocks.reshape(-1, 8, 8) * Q
+    pix = np.einsum("ji,bjk,kl->bil", _DCT, coeffs.astype(np.float64), _DCT)
+    pix = np.clip(np.round(pix + 128.0), 0, 255).astype(np.uint8)
+    img = (pix.reshape(bh, bw_, 8, 8).transpose(0, 2, 1, 3)
+           .reshape(bh * 8, bw_ * 8))
+    return np.ascontiguousarray(img[:h, :w])
+
+
 DECODERS = {"bmp": decode_bmp, "pnm": decode_pnm, "tiff": decode_tiff,
-            "png": decode_png, "gif": decode_gif}
+            "png": decode_png, "gif": decode_gif, "jpeg": decode_jpeg}
 ENCODERS = {"bmp": encode_bmp, "pnm": encode_pnm, "tiff": encode_tiff,
-            "png": encode_png, "gif": encode_gif}
+            "png": encode_png, "gif": encode_gif, "jpeg": encode_jpeg}

@@ -5,10 +5,9 @@ Decode paths: raw row-major uint8 (zero-copy byte-buffer handoff, the
 reference's ImageIOHelper.convertImageData:249-257) plus REAL pure-numpy
 codecs for BMP / PNM / TIFF (PackBits + DEFLATE strips) / PNG (zlib
 IDAT, all 5 scanline filters) / GIF (real LZW both directions,
-interlace) (codecs_img.py — the decodable subset of
-ImageIOHelper.java:263-327). JPEG/JP2 need
-entropy coders (Huffman+DCT / arithmetic) no library in this
-environment provides and stay STUBBED
+interlace) / baseline greyscale JPEG (real Huffman+DCT; lossy, but the
+binarization margin keeps spans identical) (codecs_img.py — the
+decodable subset of ImageIOHelper.java:263-327). Only JP2 stays STUBBED
 behind NotImplementedError; PDF is rejected like the reference
 (ImageIOHelper.java:278-282). The Spark-side plumbing (schema, batching,
 partitioning) is identical across all paths and fully tested.
@@ -30,8 +29,8 @@ from pyspark.sql import types as T
 from ..codecs_img import DECODERS, ENCODERS, sniff_codec
 
 SUPPORTED_RAW = "raw"   # row-major uint8, length == width*height*bands
-CODECS_REAL = ("bmp", "pnm", "tiff", "png", "gif")  # pure-numpy (codecs_img.py)
-CODECS_STUBBED = ("jpeg", "jp2")
+CODECS_REAL = ("bmp", "pnm", "tiff", "png", "gif", "jpeg")
+CODECS_STUBBED = ("jp2",)   # arithmetic/wavelet coder — needs a library
 DEFAULT_DPI = 96
 
 
@@ -52,7 +51,8 @@ def decode(payload: bytes, width: int, height: int, bands: int,
     if codec in CODECS_STUBBED:
         raise NotImplementedError(
             f"codec {codec!r} requires an imaging library absent from this "
-            "environment; bmp/pnm/tiff/png/gif are implemented in pure numpy "
+            "environment; bmp/pnm/tiff/png/gif/jpeg are implemented in pure "
+            "numpy "
             "and exercise the same plumbing")
     # PDF is *rejected*, not stubbed (ImageIOHelper.java:278-282 throws)
     raise ValueError(f"unsupported media codec {codec!r}")
@@ -61,7 +61,7 @@ def decode(payload: bytes, width: int, height: int, bands: int,
 def reencode_media(media: DataFrame, codec: str,
                    packbits: bool = False,
                    compression: str | None = None) -> DataFrame:
-    """Re-encode raw media payloads with a real codec (bmp/pnm/tiff/png/gif) —
+    """Re-encode raw media payloads with a real codec —
     the inverse of decode, used as a sink format and to drive the codec
     decode path end-to-end through the OCR pipeline. mapInPandas per
     Arrow batch; width/height/bands metadata is preserved. For tiff,

@@ -201,6 +201,62 @@ def test_gif_rejects_rgb_encode():
         encode_gif(_rand_img((4, 4, 3)))
 
 
+# -- JPEG codec (lossy) -----------------------------------------------------
+
+def test_jpeg_near_lossless_on_smooth_and_bounded_on_noise():
+    from org_dharts_dia_tesseract_spark.codecs_img import (decode_jpeg,
+                                                           encode_jpeg,
+                                                           sniff_codec)
+    x = np.tile(np.linspace(0, 255, 64).astype(np.uint8), (40, 1))
+    blob = encode_jpeg(x, 95)
+    assert sniff_codec(blob[:8]) == "jpeg"
+    assert np.array_equal(decode_jpeg(blob), x)      # smooth: exact
+    noisy = _rand_img((60, 80), seed=23)
+    err = np.abs(decode_jpeg(encode_jpeg(noisy, 90)).astype(int)
+                 - noisy.astype(int))
+    assert err.max() < 60                            # far inside the margin
+
+
+def test_jpeg_page_analysis_identical_to_raw():
+    """The whole point: a JPEG'd page binarizes and recognizes EXACTLY
+    like the raw raster (pixel error << ink/background gap)."""
+    from org_dharts_dia_tesseract_spark.codecs_img import (decode_jpeg,
+                                                           encode_jpeg)
+    from org_dharts_dia_tesseract_spark.datagen import fixture_page
+    img = fixture_page("simple_poetry")
+    dec = decode_jpeg(encode_jpeg(img, 90))
+    a, b = analyze_page(img), analyze_page(dec)
+    ra = [(r["level"], r["text"], r["left"], r["top"], r["right"],
+           r["bottom"], r["confidence"]) for r in a.rows()]
+    rb = [(r["level"], r["text"], r["left"], r["top"], r["right"],
+           r["bottom"], r["confidence"]) for r in b.rows()]
+    assert ra == rb
+
+
+def test_jpeg_restart_markers_and_rejections():
+    from org_dharts_dia_tesseract_spark.codecs_img import (decode_jpeg,
+                                                           encode_jpeg)
+    import struct
+    img = _rand_img((24, 24), seed=29)
+    blob = bytearray(encode_jpeg(img, 90))
+    # splice a DRI segment before SOS and verify the parser tolerates it
+    # (interval 0 => no restarts; exercises the DRI branch)
+    sos = blob.find(b"\xff\xda")
+    blob[sos:sos] = struct.pack(">HHH", 0xFFDD, 4, 0)
+    assert np.array_equal(decode_jpeg(bytes(blob)),
+                          decode_jpeg(encode_jpeg(img, 90)))
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
+    with pytest.raises(ValueError, match="greyscale"):
+        encode_jpeg(_rand_img((8, 8, 3)))
+    # progressive (SOF2) rejected
+    prog = bytearray(encode_jpeg(img))
+    sof = prog.find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(prog))
+
+
 # -- language packs through recognition -------------------------------------
 
 def test_resolve_languages_algebra():
