@@ -113,8 +113,11 @@ def test_multimodal_decode_codecs():
     grey = RGB[:, :, 0]
     assert (M.decode(C.ENCODERS["gif"](grey), 9, 15, 1, codec="gif")
             == grey).all()
+    grey2 = RGB[:, :, 1]
+    jb = C.ENCODERS["jpeg"](grey2)            # lossy: same shape, near-equal
+    assert M.decode(jb, 9, 15, 1, codec="jpeg").shape == grey2.shape
     with pytest.raises(NotImplementedError):
-        M.decode(b"xx", 1, 1, 1, codec="jpeg")
+        M.decode(b"xx", 1, 1, 1, codec="jp2")
 
 
 @pytest.mark.parametrize("codec", ["bmp", "tiff", "png", "gif"])

@@ -320,7 +320,7 @@ def test_multimodal_resize(spark, corpus_small):
 
 def test_multimodal_codec_stub():
     with pytest.raises(NotImplementedError):
-        M.decode(b"xx", 1, 1, 1, codec="jpeg")
+        M.decode(b"xx", 1, 1, 1, codec="jp2")
     with pytest.raises(ValueError):
         M.decode(b"xx", 1, 1, 1, codec="pdf")   # PDF rejected, not stubbed
 

@@ -35,6 +35,21 @@ def test_extract_pipeline_plan_shape(spark, corpus_paths):
     assert "MapInPandas" in s
 
 
+def test_encoded_media_pipeline_adds_no_shuffle(spark, corpus_paths):
+    """The codec path (reencode -> sniff/decode inside the OCR stage) is
+    a chained narrow MapInPandas: the full encoded-media pipeline keeps
+    the flagship's single exchange — re-encoding never costs a shuffle."""
+    from org_dharts_dia_tesseract_spark.operators.multimodal import \
+        reencode_media
+    docs = spark.read.parquet(corpus_paths[0])
+    media = spark.read.parquet(corpus_paths[1])
+    df = extract_spans(docs, reencode_media(media, "jpeg"))
+    assert P.n_exchanges(df) == 1
+    # two MapInPandas nodes (reencode + OCR), each listed once in the
+    # tree and once in the node-detail section of the formatted plan
+    assert P.explain_str(df).count("MapInPandas") == 4
+
+
 def test_filter_pushdown_reaches_scan(spark):
     li = spark.read.parquet(f"{SF}/lineitem.parquet")
     df = li.where(F.col("l_quantity") > 45).select("l_orderkey", "l_quantity")
