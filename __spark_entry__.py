@@ -179,6 +179,19 @@ def _ocr_spans_jpeg_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_spans(docs, reencode_media(media, "jpeg"))
 
 
+def _ocr_spans_jp2_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span extraction over JPEG 2000 media payloads (codecs_jp2: real
+    MQ arithmetic coder + EBCOT three-pass code-blocks + reversible 5/3
+    wavelet — the last format of ImageIOHelper.java:263-327, previously
+    stubbed). The transform is LOSSLESS, so spans are byte-identical to
+    the raw run's; the oracle parquet pins exactly that."""
+    from org_dharts_dia_tesseract_spark.operators import extract_spans
+    from org_dharts_dia_tesseract_spark.operators.multimodal import \
+        reencode_media
+    docs, media = _interleaved_corpus(spark, sf_dir, 200)
+    return extract_spans(docs, reencode_media(media, "jp2"))
+
+
 def _ocr_spans_lang_hin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span extraction initialized with the SECOND installed language
     pack ('hin': a different deterministic glyph atlas). Recognition
@@ -211,7 +224,7 @@ _PRIORITY = [
     "ocr_tiff_merge",
     # (1c) new this round
     "ocr_spans_deflate_media", "ocr_spans_png_media", "ocr_spans_gif_media",
-    "ocr_spans_jpeg_media", "ocr_spans_lang_hin",
+    "ocr_spans_jpeg_media", "ocr_spans_jp2_media", "ocr_spans_lang_hin",
     # (2) last green in round 1 — due a fresh row
     "doc_fingerprint", "embedding_norms", "similarity_topk_cosine",
     "anti_join_idle_customers", "semi_join_active_parts",
@@ -250,6 +263,7 @@ _RASTER_GATES = {
     "ocr_spans_png_media": _ocr_spans_png_media,
     "ocr_spans_gif_media": _ocr_spans_gif_media,
     "ocr_spans_jpeg_media": _ocr_spans_jpeg_media,
+    "ocr_spans_jp2_media": _ocr_spans_jp2_media,
     "ocr_spans_lang_hin": _ocr_spans_lang_hin,
     "ocr_unlv_text": _ocr_unlv_text,
     "ocr_page_osd": _ocr_page_osd,

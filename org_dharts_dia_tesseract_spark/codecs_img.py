@@ -1,17 +1,18 @@
-"""Pure-numpy image codecs: BMP, PNM, TIFF, PNG, GIF, JPEG.
+"""Pure-numpy image codecs: BMP, PNM, TIFF, PNG, GIF, JPEG, JP2.
 
-Rebuilds the decodable subset of the reference's ImageIO surface
+Rebuilds the reference's full ImageIO decode surface
 (ImageIOHelper.java:263-327 decodes TIFF/JPEG/GIF/PNG/BMP/PNM/JP2 via
-javax.imageio) that is implementable without an imaging library:
+javax.imageio) without an imaging library:
 uncompressed BMP (8-bit greyscale palette + 24-bit BGR), binary/ASCII PNM
 (P2/P3/P5/P6), TIFF (single or multi strip, compression none=1,
 Adobe/legacy DEFLATE=8/32946 via stdlib zlib, or PackBits=32773, grey or
-RGB), PNG (8-bit grey/RGB, zlib IDAT, all five scanline filters), and
+RGB), PNG (8-bit grey/RGB, zlib IDAT, all five scanline filters),
 GIF 87a/89a (8-bit palette, real variable-width LZW in both directions,
-interlace on decode), and baseline greyscale JPEG (real Huffman + 8x8
-DCT; the one LOSSY codec — see its section). Only JP2 remains stubbed in
-operators.multimodal (arithmetic/wavelet coder; the env has no
-PIL/scipy). PDF stays rejected, mirroring ImageIOHelper.java:278-282.
+interlace on decode), baseline greyscale JPEG (real Huffman + 8x8
+DCT; the one LOSSY codec — see its section), and JPEG 2000 (codecs_jp2:
+MQ arithmetic coder + EBCOT three-pass code-blocks + reversible 5/3
+wavelet; LOSSLESS). PDF stays rejected, mirroring
+ImageIOHelper.java:278-282.
 
 Every decoder returns uint8 arrays shaped (h, w) for 1 band or
 (h, w, bands); every encoder except JPEG (inherently lossy) is its exact
@@ -45,6 +46,8 @@ def sniff_codec(payload: bytes) -> str | None:
         return "gif"
     if payload[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if payload[:8] == b"\x00\x00\x00\x0cjP  " or payload[:4] == b"\xff\x4f\xff\x51":
+        return "jp2"          # JP2 signature box / raw J2K codestream SOC
     if payload[:4] == b"%PDF":
         return "pdf"
     return None
@@ -1038,7 +1041,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     return np.ascontiguousarray(img[:h, :w])
 
 
+# JPEG 2000 lives in its own module (MQ coder + EBCOT + 5/3 DWT are
+# ~900 lines on their own); registered here so sniff/decode dispatch is
+# uniform across all seven formats.
+from .codecs_jp2 import decode_jp2, encode_jp2  # noqa: E402
+
 DECODERS = {"bmp": decode_bmp, "pnm": decode_pnm, "tiff": decode_tiff,
-            "png": decode_png, "gif": decode_gif, "jpeg": decode_jpeg}
+            "png": decode_png, "gif": decode_gif, "jpeg": decode_jpeg,
+            "jp2": decode_jp2}
 ENCODERS = {"bmp": encode_bmp, "pnm": encode_pnm, "tiff": encode_tiff,
-            "png": encode_png, "gif": encode_gif, "jpeg": encode_jpeg}
+            "png": encode_png, "gif": encode_gif, "jpeg": encode_jpeg,
+            "jp2": encode_jp2}

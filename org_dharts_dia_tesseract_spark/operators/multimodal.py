@@ -6,9 +6,10 @@ reference's ImageIOHelper.convertImageData:249-257) plus REAL pure-numpy
 codecs for BMP / PNM / TIFF (PackBits + DEFLATE strips) / PNG (zlib
 IDAT, all 5 scanline filters) / GIF (real LZW both directions,
 interlace) / baseline greyscale JPEG (real Huffman+DCT; lossy, but the
-binarization margin keeps spans identical) (codecs_img.py — the
-decodable subset of ImageIOHelper.java:263-327). Only JP2 stays STUBBED
-behind NotImplementedError; PDF is rejected like the reference
+binarization margin keeps spans identical) / JPEG 2000 (MQ coder +
+EBCOT + reversible 5/3 wavelet; lossless) — the reference's FULL
+ImageIO decode surface (ImageIOHelper.java:263-327), every format a
+real coder. PDF is rejected like the reference
 (ImageIOHelper.java:278-282). The Spark-side plumbing (schema, batching,
 partitioning) is identical across all paths and fully tested.
 
@@ -29,8 +30,8 @@ from pyspark.sql import types as T
 from ..codecs_img import DECODERS, ENCODERS, sniff_codec
 
 SUPPORTED_RAW = "raw"   # row-major uint8, length == width*height*bands
-CODECS_REAL = ("bmp", "pnm", "tiff", "png", "gif", "jpeg")
-CODECS_STUBBED = ("jp2",)   # arithmetic/wavelet coder — needs a library
+CODECS_REAL = ("bmp", "pnm", "tiff", "png", "gif", "jpeg", "jp2")
+CODECS_STUBBED: tuple[str, ...] = ()   # every reference format is real now
 DEFAULT_DPI = 96
 
 
@@ -48,12 +49,10 @@ def decode(payload: bytes, width: int, height: int, bands: int,
                 f"{codec} payload decodes to {img.shape}, metadata says "
                 f"({height}, {width}) x {bands} bands")
         return img
-    if codec in CODECS_STUBBED:
-        raise NotImplementedError(
-            f"codec {codec!r} requires an imaging library absent from this "
-            "environment; bmp/pnm/tiff/png/gif/jpeg are implemented in pure "
-            "numpy "
-            "and exercise the same plumbing")
+    if codec in CODECS_STUBBED:     # empty since round 3; kept as the
+        raise NotImplementedError(  # documented gate for future formats
+            f"codec {codec!r} requires an imaging library absent from "
+            "this environment")
     # PDF is *rejected*, not stubbed (ImageIOHelper.java:278-282 throws)
     raise ValueError(f"unsupported media codec {codec!r}")
 

@@ -407,6 +407,7 @@ def main() -> None:
     write("ocr_spans_png_media", _spans_table(spans_200))
     write("ocr_spans_gif_media", _spans_table(spans_200))
     write("ocr_spans_jpeg_media", _spans_table(spans_200))
+    write("ocr_spans_jp2_media", _spans_table(spans_200))
     write("ocr_spans_lang_hin",
           _spans_table(_span_rows(corpus, CAP_MEDIA, langs=("hin",))))
     hier = list(_hierarchy_rows(corpus, CAP_PIPELINE))

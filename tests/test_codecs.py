@@ -21,7 +21,7 @@ RGB = np.random.default_rng(4).integers(0, 256, (15, 9, 3), dtype=np.uint8)
 
 
 @pytest.mark.parametrize("img", [GREY, RGB], ids=["grey", "rgb"])
-@pytest.mark.parametrize("codec", ["bmp", "pnm", "tiff"])
+@pytest.mark.parametrize("codec", ["bmp", "pnm", "tiff", "jp2"])
 def test_roundtrip(img, codec):
     enc = C.ENCODERS[codec](img)
     assert C.sniff_codec(enc) == codec
@@ -116,11 +116,13 @@ def test_multimodal_decode_codecs():
     grey2 = RGB[:, :, 1]
     jb = C.ENCODERS["jpeg"](grey2)            # lossy: same shape, near-equal
     assert M.decode(jb, 9, 15, 1, codec="jpeg").shape == grey2.shape
-    with pytest.raises(NotImplementedError):
-        M.decode(b"xx", 1, 1, 1, codec="jp2")
+    assert (M.decode(C.ENCODERS["jp2"](grey2), 9, 15, 1, codec="jp2")
+            == grey2).all()                   # JP2 is lossless
+    with pytest.raises(ValueError, match="unsupported media codec"):
+        M.decode(b"xx", 1, 1, 1, codec="webp")
 
 
-@pytest.mark.parametrize("codec", ["bmp", "tiff", "png", "gif"])
+@pytest.mark.parametrize("codec", ["bmp", "tiff", "png", "gif", "jp2"])
 def test_pipeline_over_encoded_media(spark, codec):
     """The invariant survives the codec path: spans from codec-encoded
     payloads == spans from raw payloads, byte for byte."""
@@ -148,6 +150,84 @@ def test_codec_roundtrip_property():
         for codec in ("bmp", "pnm", "tiff"):
             assert (C.DECODERS[codec](C.ENCODERS[codec](img)) == img).all()
         assert (C.decode_tiff(C.encode_tiff(img, packbits=True)) == img).all()
+
+    check()
+
+
+def test_jp2_codec():
+    """JPEG 2000 (codecs_jp2): MQ coder / tag-tree / DWT internals plus
+    whole-file round-trips across the subset's edge shapes."""
+    from org_dharts_dia_tesseract_spark import codecs_jp2 as J
+
+    # MQ coder round-trip over biased and unbiased context streams
+    import random
+    rng = random.Random(11)
+    for p in (0.03, 0.5, 0.97):
+        bits = [1 if rng.random() < p else 0 for _ in range(600)]
+        ctxs = [rng.randint(0, 18) for _ in bits]
+        enc = J._MQEncoder()
+        for b, c in zip(bits, ctxs):
+            enc.encode(b, c)
+        dec = J._MQDecoder(enc.flush())
+        assert [dec.decode(c) for c in ctxs] == bits
+
+    # 5/3 lifting is exactly invertible at every length
+    for n in range(1, 20):
+        x = np.random.default_rng(n).integers(-500, 500, (n, 2)).astype(np.int32)
+        lo, hi = J._fwd53_axis0(x)
+        assert (J._inv53_axis0(lo, hi, n) == x).all()
+
+    # whole files: flat (run-length mode everywhere), text-like sparse
+    # ink, dense noise, 1-pixel, odd dims, multi-codeblock (>64px), RGB
+    rng2 = np.random.default_rng(12)
+    text = np.full((90, 140), 235, dtype=np.uint8)
+    text[12:24, 8:120] = 20
+    text[40:42, 4:136] = 15
+    for img in (np.full((16, 16), 128, dtype=np.uint8),
+                text,
+                rng2.integers(0, 256, (33, 47)).astype(np.uint8),
+                np.array([[9]], dtype=np.uint8),
+                rng2.integers(0, 256, (65, 9)).astype(np.uint8),
+                rng2.integers(0, 256, (130, 70)).astype(np.uint8),
+                rng2.integers(0, 256, (24, 18, 3)).astype(np.uint8)):
+        blob = C.encode_jp2(img)
+        assert C.sniff_codec(blob[:8]) == "jp2"
+        out = C.decode_jp2(blob)
+        assert out.shape == img.shape and (out == img).all()
+
+    # raw codestream (no JP2 container) decodes too
+    cs = J._find_codestream(C.encode_jp2(text))
+    assert C.sniff_codec(cs[:8]) == "jp2"
+    assert (C.decode_jp2(cs) == text).all()
+
+    # malformed / out-of-subset inputs raise
+    with pytest.raises(ValueError):
+        C.decode_jp2(b"\x00\x00\x00\x0cjP  \r\n\x87\ngarbage")
+    with pytest.raises(ValueError):
+        J.encode_jp2(np.zeros((4, 4), dtype=np.uint16))
+
+
+def test_jp2_roundtrip_property():
+    """Property: arbitrary uint8 images survive the JP2 round-trip
+    losslessly (random fill exercises every coding pass; sparse fill
+    exercises the cleanup run-length mode)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.integers(1, 80), st.integers(1, 80),
+           st.sampled_from(["noise", "sparse"]),
+           st.integers(0, 2**32 - 1))
+    def check(w, h, kind, seed):
+        rng = np.random.default_rng(seed)
+        if kind == "noise":
+            img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        else:
+            img = np.full((h, w), 240, dtype=np.uint8)
+            for _ in range(int(rng.integers(0, 8))):
+                y, x = int(rng.integers(0, h)), int(rng.integers(0, w))
+                img[y:y + 6, x:x + 6] = int(rng.integers(0, 50))
+        assert (C.decode_jp2(C.encode_jp2(img)) == img).all()
 
     check()
 
