@@ -798,6 +798,134 @@ def token_count(spark, sf_dir):
          .cast("bigint").alias("bpe_ish_tokens"))
 
 
+@q("pii_scrub", """
+    WITH injected AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id ||
+             '@mail.example.com or 555-' ||
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+             ' at 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1' AS t
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(t,
+             '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))
+             AS BIGINT) AS n_ips,
+           regexp_replace(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g'),
+             '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+             '<IP>', 'g'),
+             '\\b[0-9]{3}-[0-9]{4}\\b', '<PHONE>', 'g') AS scrubbed
+    FROM injected
+""")
+def pii_scrub(spark, sf_dir):
+    """PII redaction for training corpora: mask emails, IPv4 addresses,
+    and phone-like numbers with typed placeholder tokens. The corpus
+    text is synthetic word soup, so deterministic PII is injected per
+    doc_id first — the gate then verifies the scrubbed output (and the
+    pre-scrub entity counts) byte-for-byte against the oracle. Pure
+    codegen regexp chain (email before IP before phone: the patterns
+    are disjoint, order kept explicit anyway) — a narrow map with no
+    shuffle, scan-partition parallel at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    ipv4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    phone = "\\b[0-9]{3}-[0-9]{4}\\b"
+    t = F.concat(
+        F.col("text"), F.lit(" contact user"), F.col("doc_id"),
+        F.lit("@mail.example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" at 10."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0.1"))
+    inj = docs.select("doc_id", t.alias("t"))
+    return inj.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(email), F.lit(0)))
+         .cast("bigint").alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(ipv4), F.lit(0)))
+         .cast("bigint").alias("n_ips"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace("t", email, "<EMAIL>"),
+                ipv4, "<IP>"),
+            phone, "<PHONE>").alias("scrubbed"))
+
+
+@q("type_token_ratio", """
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT word) AS BIGINT) AS n_types,
+           round(count(DISTINCT word) * 1.0 / count(*), 4) AS ttr
+    FROM (SELECT doc_id,
+                 unnest(string_split(trim(text), ' ')) AS word
+          FROM documents)
+    WHERE word <> ''
+    GROUP BY doc_id
+""")
+def type_token_ratio(spark, sf_dir):
+    """Lexical-diversity quality signal: distinct words / total words
+    per document (low TTR flags boilerplate/repetition-heavy docs in a
+    training-data pipeline). One map-side-combinable aggregation keyed
+    on doc_id — the explode is a narrow map, the agg is the only
+    shuffle, and it partitions on the same key every downstream
+    quality-filter join would use."""
+    w = _words(spark, sf_dir)
+    return (w.groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias("n_tokens"),
+                 F.countDistinct("word").cast("bigint").alias("n_types"))
+            .select("doc_id", "n_tokens", "n_types",
+                    F.round(F.col("n_types") / F.col("n_tokens"), 4)
+                     .alias("ttr")))
+
+
+@q("tfidf_top_terms", """
+    WITH w AS (SELECT doc_id,
+                      unnest(string_split(trim(text), ' ')) AS word
+               FROM documents),
+    ww AS (SELECT doc_id, word FROM w WHERE word <> ''),
+    tf AS (SELECT doc_id, word, count(*) AS tf FROM ww GROUP BY 1, 2),
+    df AS (SELECT word, count(DISTINCT doc_id) AS df FROM ww GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (SELECT tf.doc_id, tf.word, tf.tf, df.df,
+                      round(tf.tf * ln((n.n + 1.0) / (df.df + 1.0)), 6)
+                        AS tfidf
+               FROM tf JOIN df USING (word) CROSS JOIN n)
+    SELECT doc_id, word AS term, CAST(tf AS BIGINT) AS tf,
+           CAST(df AS BIGINT) AS df, tfidf
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY tfidf DESC, word ASC) AS rk FROM scored)
+    WHERE rk <= 3
+""")
+def tfidf_top_terms(spark, sf_dir):
+    """Corpus TF-IDF: top-3 salient terms per document (rank by score
+    desc, term asc for a deterministic cross-engine order). Scale shape:
+    tf is a map-side-combinable agg on (doc_id, word); df aggregates to
+    vocabulary size and is BROADCAST back onto tf (a vocabulary is
+    orders of magnitude smaller than a web corpus), as is the one-row
+    doc count — so the only large shuffles key on (doc_id, word) and
+    doc_id, never on raw text."""
+    w = _words(spark, sf_dir)
+    tf = (w.groupBy("doc_id", "word")
+          .agg(F.count("*").cast("bigint").alias("tf")))
+    df = (w.groupBy("word")
+          .agg(F.countDistinct("doc_id").cast("bigint").alias("df")))
+    n = load_table(spark, sf_dir, "documents") \
+        .agg(F.count("*").alias("n"))
+    scored = (tf.join(F.broadcast(df), "word")
+              .crossJoin(F.broadcast(n))
+              .select("doc_id", F.col("word").alias("term"), "tf", "df",
+                      F.round(F.col("tf") * F.log((F.col("n") + 1.0)
+                              / (F.col("df") + 1.0)), 6).alias("tfidf")))
+    rk = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc())
+    return (scored.withColumn("rk", F.row_number().over(rk))
+            .where(F.col("rk") <= 3)
+            .select("doc_id", "term", "tf", "df", "tfidf"))
+
+
 @q("winnow_fingerprints", """
     WITH g AS (
       SELECT doc_id,

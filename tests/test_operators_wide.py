@@ -318,11 +318,18 @@ def test_multimodal_resize(spark, corpus_small):
         assert len(r["payload"]) == 20 * 10 * r["bands"]
 
 
-def test_multimodal_codec_stub():
-    with pytest.raises(NotImplementedError):
+def test_multimodal_codec_surface():
+    """Every reference format is a real codec since round 3 (JP2 was the
+    last stub); unknown codecs and PDF reject with typed errors."""
+    assert M.CODECS_STUBBED == ()
+    assert set(M.CODECS_REAL) == {"bmp", "pnm", "tiff", "png", "gif",
+                                  "jpeg", "jp2"}
+    with pytest.raises(ValueError):            # malformed jp2 payload
         M.decode(b"xx", 1, 1, 1, codec="jp2")
     with pytest.raises(ValueError):
         M.decode(b"xx", 1, 1, 1, codec="pdf")   # PDF rejected, not stubbed
+    with pytest.raises(ValueError):
+        M.decode(b"xx", 1, 1, 1, codec="webp")  # unknown codec
 
 
 def test_frame_sample(spark, corpus_small):
