@@ -233,3 +233,29 @@ def test_merge_tiff_plan_single_shuffle(spark, corpus_paths):
     df = merge_tiff(docs, media)
     assert P.n_exchanges(df) == 1
     assert P.explain_str(df, "simple").count("MapInPandas") == 1
+
+
+def test_tfidf_plan_broadcasts_vocab_no_cartesian(spark):
+    """TF-IDF shape: the vocabulary-sized df table and the one-row doc
+    count broadcast back onto tf (no shuffle of the big (doc_id, word)
+    side for either join), and the scalar cross join stays a broadcast
+    nested loop, never a cartesian product."""
+    from org_dharts_dia_tesseract_spark.queries import spark_queries
+    df = spark_queries()["tfidf_top_terms"](spark, SF)
+    s = P.explain_str(df)
+    assert "BroadcastHashJoin" in s
+    assert "CartesianProduct" not in s
+    # shuffles: tf agg, df's two-phase distinct agg (2), the one-row doc
+    # count, and the per-doc top-k window — all keyed on (doc_id, word) /
+    # word / doc_id; the raw text column never shuffles
+    assert P.n_exchanges(df) <= 5
+    # the top-k window prunes before the shuffle (rank<=3 pushdown)
+    assert "WindowGroupLimit" in s
+
+
+def test_pii_scrub_plan_narrow_map(spark):
+    """PII scrub is a pure projection: zero exchanges, whole-stage
+    codegen regexp chain over the scan."""
+    from org_dharts_dia_tesseract_spark.queries import spark_queries
+    df = spark_queries()["pii_scrub"](spark, SF)
+    assert P.n_exchanges(df) == 0
