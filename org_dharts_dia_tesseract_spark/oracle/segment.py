@@ -79,14 +79,50 @@ def _blank_runs(profile: np.ndarray) -> list[tuple[int, int]]:
     return [(int(nz[g] + 1), int(nz[g + 1])) for g in gaps]
 
 
-def _trim(ink: np.ndarray, box: Box) -> Box | None:
+class _InkProfiles:
+    """Per-page prefix sums over the {0,1} ink map.
+
+    The XY-cut recursion asks for row/column projection profiles and
+    ink-bounding-box trims of arbitrary sub-boxes at every level of the
+    hierarchy; computing each one by slicing+summing the 2-D array makes
+    the recursion O(area) per node. Two cumulative sums (one along each
+    axis) computed ONCE per page make every profile O(h+w) for the box —
+    the same integers, just assembled by subtraction, so segmentation
+    output is bit-identical to the direct form.
+    """
+
+    __slots__ = ("rowcum", "colcum")
+
+    def __init__(self, ink: np.ndarray):
+        self.rowcum = ink.cumsum(axis=1, dtype=np.int32)
+        self.colcum = ink.cumsum(axis=0, dtype=np.int32)
+
+    def row_profile(self, box: Box) -> np.ndarray:
+        """Per-row ink counts over [l:r), rows t..b (== sub.sum(axis=1))."""
+        l, t, r, b = box
+        right = self.rowcum[t:b, r - 1]
+        if l == 0:
+            return right
+        return right - self.rowcum[t:b, l - 1]
+
+    def col_profile(self, box: Box) -> np.ndarray:
+        """Per-col ink counts over [t:b), cols l..r (== sub.sum(axis=0))."""
+        l, t, r, b = box
+        bot = self.colcum[b - 1, l:r]
+        if t == 0:
+            return bot
+        return bot - self.colcum[t - 1, l:r]
+
+
+def _trim(prof: _InkProfiles, box: Box) -> Box | None:
     """Shrink box to its ink bounding box; None if empty."""
     l, t, r, b = box
-    sub = ink[t:b, l:r]
-    rows = np.flatnonzero(sub.any(axis=1))
-    cols = np.flatnonzero(sub.any(axis=0))
+    if r <= l or b <= t:
+        return None
+    rows = np.flatnonzero(prof.row_profile(box))
     if len(rows) == 0:
         return None
+    cols = np.flatnonzero(prof.col_profile(box))
     return (l + int(cols[0]), t + int(rows[0]),
             l + int(cols[-1]) + 1, t + int(rows[-1]) + 1)
 
@@ -94,38 +130,40 @@ def _trim(ink: np.ndarray, box: Box) -> Box | None:
 def _segments(profile: np.ndarray, min_gap: int) -> list[tuple[int, int]]:
     """Split a projection profile at blank runs >= min_gap.
 
-    Returns half-open content segments in ascending order.
+    Returns half-open content segments in ascending order; each segment
+    starts and ends at a nonzero profile position (i.e. segments are
+    tight along this axis).
     """
-    cuts = [g for g in _blank_runs(profile) if g[1] - g[0] >= min_gap]
     nz = np.flatnonzero(profile)
-    start, end = int(nz[0]), int(nz[-1]) + 1
+    if len(nz) == 0:
+        return []
     segs = []
-    pos = start
-    for gs, ge in cuts:
-        if gs > pos:
+    pos = int(nz[0])
+    for g in np.flatnonzero(np.diff(nz) > 1):
+        gs, ge = int(nz[g] + 1), int(nz[g + 1])
+        if ge - gs >= min_gap:
             segs.append((pos, gs))
-        pos = ge
-    if end > pos:
-        segs.append((pos, end))
+            pos = ge
+    segs.append((pos, int(nz[-1]) + 1))
     return segs
 
 
-def _xycut(ink: np.ndarray, box: Box, allow_vsplit: bool, out: list[Box]) -> None:
-    box2 = _trim(ink, box)
+def _xycut(prof: _InkProfiles, box: Box, allow_vsplit: bool,
+           out: list[Box]) -> None:
+    box2 = _trim(prof, box)
     if box2 is None:
         return
     l, t, r, b = box2
-    sub = ink[t:b, l:r]
     if allow_vsplit:
-        col_segs = _segments(sub.sum(axis=0), SPLIT_GAP)
+        col_segs = _segments(prof.col_profile(box2), SPLIT_GAP)
         if len(col_segs) > 1:
             for cs, ce in col_segs:            # columns: left -> right
-                _xycut(ink, (l + cs, t, l + ce, b), True, out)
+                _xycut(prof, (l + cs, t, l + ce, b), True, out)
             return
-    row_segs = _segments(sub.sum(axis=1), SPLIT_GAP)
+    row_segs = _segments(prof.row_profile(box2), SPLIT_GAP)
     if len(row_segs) > 1:
         for rs, re in row_segs:                # blocks: top -> bottom
-            _xycut(ink, (l, t + rs, r, t + re), True, out)
+            _xycut(prof, (l, t + rs, r, t + re), True, out)
         return
     out.append(box2)
 
@@ -146,37 +184,47 @@ def classify_block(ink: np.ndarray, box: Box) -> str:
     return FLOWING_TEXT
 
 
-def _split_axis(ink: np.ndarray, box: Box, axis: int, min_gap: int) -> list[Box]:
-    """Child boxes of `box` split along axis (0=rows, 1=cols), trimmed."""
+def _split_axis(prof: _InkProfiles, box: Box, axis: int,
+                min_gap: int) -> list[Box]:
+    """Child boxes of `box` split along axis (0=rows, 1=cols), trimmed.
+
+    Segments are already tight along the split axis (see _segments), so
+    only the cross axis needs a trim — one profile per child, not three.
+    """
     l, t, r, b = box
-    sub = ink[t:b, l:r]
-    profile = sub.sum(axis=1 - axis)
     out = []
-    for s, e in _segments(profile, min_gap):
-        child = (l, t + s, r, t + e) if axis == 0 else (l + s, t, l + e, b)
-        trimmed = _trim(ink, child)
-        if trimmed is not None:
-            out.append(trimmed)
+    if axis == 0:
+        for s, e in _segments(prof.row_profile(box), min_gap):
+            cols = np.flatnonzero(prof.col_profile((l, t + s, r, t + e)))
+            if len(cols):
+                out.append((l + int(cols[0]), t + s,
+                            l + int(cols[-1]) + 1, t + e))
+    else:
+        for s, e in _segments(prof.col_profile(box), min_gap):
+            rows = np.flatnonzero(prof.row_profile((l + s, t, l + e, b)))
+            if len(rows):
+                out.append((l + s, t + int(rows[0]),
+                            l + e, t + int(rows[-1]) + 1))
     return out
 
 
-def _build_text_block(ink: np.ndarray, box: Box) -> Node:
+def _build_text_block(ink: np.ndarray, prof: _InkProfiles, box: Box) -> Node:
     blk = Node("BLOCK", box, FLOWING_TEXT, baseline=None)
-    for pbox in _split_axis(ink, box, 0, PARA_GAP_MIN):
+    for pbox in _split_axis(prof, box, 0, PARA_GAP_MIN):
         para = Node("PARA", pbox, FLOWING_TEXT)
-        for lbox in _split_axis(ink, pbox, 0, 1):
+        for lbox in _split_axis(prof, pbox, 0, 1):
             lb = fit_baseline(ink, lbox)
             line = Node("TEXTLINE", lbox, FLOWING_TEXT, baseline=lb)
             # words share their line's baseline fit, interpolated at the
             # word's extent (Tesseract's baseline is a per-line property)
             lx1, ly1, lx2, ly2 = lb
             slope = (ly2 - ly1) / max(lx2 - lx1, 1)
-            for wbox in _split_axis(ink, lbox, 1, WORD_GAP_MIN):
+            for wbox in _split_axis(prof, lbox, 1, WORD_GAP_MIN):
                 wl, _, wr, _ = wbox
                 wb = (wl, int(round(ly1 + slope * (wl - lx1))),
                       wr, int(round(ly1 + slope * (wr - lx1))))
                 word = Node("WORD", wbox, FLOWING_TEXT, baseline=wb)
-                for sbox in _split_axis(ink, wbox, 1, 1):
+                for sbox in _split_axis(prof, wbox, 1, 1):
                     sl, st, sr, sb = sbox
                     word.children.append(
                         Node("SYMBOL", sbox, FLOWING_TEXT,
@@ -228,20 +276,21 @@ def segment(ink: np.ndarray, psm: str = "AUTO", roi: Box | None = None) -> list[
         l, t, r, b = roi
         mask[t:b, l:r] = ink[t:b, l:r]
         ink = mask
+    prof = _InkProfiles(ink)
     block_boxes: list[Box] = []
     if psm in ("AUTO", "AUTO_OSD", "AUTO_ONLY", "OSD_ONLY"):
-        _xycut(ink, page_box, True, block_boxes)
+        _xycut(prof, page_box, True, block_boxes)
     elif psm == "SINGLE_COLUMN":
-        _xycut(ink, page_box, False, block_boxes)
+        _xycut(prof, page_box, False, block_boxes)
     else:   # SINGLE_BLOCK / SINGLE_LINE / SINGLE_WORD / SINGLE_CHAR / SINGLE_BLOCK_VERT_TEXT / CIRCLE_WORD
-        tb = _trim(ink, page_box)
+        tb = _trim(prof, page_box)
         if tb is not None:
             block_boxes.append(tb)
     blocks: list[Node] = []
     for bb in block_boxes:
         btype = classify_block(ink, bb)
         if btype in TEXT_KINDS:
-            blocks.append(_build_text_block(ink, bb))
+            blocks.append(_build_text_block(ink, prof, bb))
         else:
             blocks.append(_build_nontext_block(bb, btype))
     if psm == "SINGLE_LINE":
