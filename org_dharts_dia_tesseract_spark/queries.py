@@ -2006,3 +2006,115 @@ def html_main_content(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents") \
         .select("doc_id", _doc_html_spark().alias("html"))
     return extract_main_content(docs, "html").select("doc_id", "content")
+
+
+# -- web-scale corpus hygiene: cross-doc paragraph dedup + contamination ----
+
+_BOILER = "subscribe to our newsletter for weekly updates today"
+
+
+@q("paragraph_dedup", f"""
+    WITH boil AS (
+      SELECT doc_id,
+             trim(text) ||
+             CASE WHEN doc_id % 7 = 0 THEN ' {_BOILER}' ELSE '' END AS t
+      FROM documents),
+    arrs AS (SELECT doc_id,
+                    list_filter(string_split(t, ' '), w -> w <> '') AS ws
+             FROM boil),
+    chunks AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(0, CAST(ceil(len(ws) / 8.0) AS INT) - 1),
+               i -> array_to_string(list_slice(ws, i*8 + 1, i*8 + 8), ' ')))
+               AS chunk
+      FROM arrs WHERE len(ws) > 0)
+    SELECT chunk,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM chunks
+    GROUP BY chunk
+    HAVING count(DISTINCT doc_id) >= 2
+""")
+def paragraph_dedup(spark, sf_dir):
+    """Cross-document paragraph-level dedup: split every document into
+    8-word chunks (the paragraph analog for the space-joined corpus) and
+    surface chunks appearing in >= 2 distinct documents — the classic
+    web-boilerplate signal ('subscribe to our newsletter...') that
+    document-level dedup misses. The corpus is synthetic word soup, so a
+    deterministic boilerplate paragraph is injected on doc_id % 7 == 0
+    first; the gate then verifies the dedup finds exactly those (plus
+    any natural repeats). Scale shape: chunking is a narrow map
+    (higher-order array fns, no window); the single shuffle keys on the
+    chunk text itself, which is near-uniformly distributed — the one hot
+    key per boilerplate string is bounded by its own count, and a
+    salt-then-merge rewrite drops in if a single chunk dominates."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.trim("text"), F.lit(" " + _BOILER))) \
+         .otherwise(F.trim("text"))
+    arr = docs.select("doc_id", t.alias("t")) \
+        .withColumn("__ws", F.filter(F.split("t", " "),
+                                     lambda w: w != ""))
+    chunks = arr.where(F.size("__ws") > 0).select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(0, CAST(ceil(size(__ws) / 8.0) AS INT) - 1), "
+            "i -> array_join(slice(__ws, i*8 + 1, 8), ' '))")).alias("chunk"))
+    return (chunks.groupBy("chunk")
+            .agg(F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+                 F.count("*").cast("bigint").alias("n_occurrences"),
+                 F.min("doc_id").cast("bigint").alias("first_doc"))
+            .where(F.col("n_docs") >= 2))
+
+
+@q("benchmark_contamination", f"""
+    WITH g AS ({_SHINGLES_SQL}),
+    eval_g AS (SELECT DISTINCT doc_id AS eval_doc, shingle
+               FROM g WHERE doc_id % 97 = 0),
+    train_g AS (SELECT DISTINCT doc_id, shingle
+                FROM g WHERE doc_id % 97 <> 0),
+    totals AS (SELECT doc_id, count(*) AS total_grams
+               FROM train_g GROUP BY doc_id),
+    hits AS (SELECT t.doc_id,
+                    count(DISTINCT t.shingle) AS n_gram_hits,
+                    count(DISTINCT e.eval_doc) AS n_eval_docs
+             FROM train_g t JOIN eval_g e USING (shingle)
+             GROUP BY t.doc_id)
+    SELECT h.doc_id,
+           CAST(h.n_gram_hits AS BIGINT) AS n_gram_hits,
+           CAST(h.n_eval_docs AS BIGINT) AS n_eval_docs,
+           CAST(tt.total_grams AS BIGINT) AS total_grams,
+           round(h.n_gram_hits * 1.0 / tt.total_grams, 4)
+             AS contamination_rate
+    FROM hits h JOIN totals tt USING (doc_id)
+""")
+def benchmark_contamination(spark, sf_dir):
+    """Benchmark-contamination detection: flag training documents whose
+    word n-grams overlap a held-out evaluation set (doc_id % 97 == 0
+    plays the benchmark here; 3-grams against this 31-word vocabulary —
+    real deployments raise n to 8-13 via the same shingler). Scale
+    shape: shingling is the narrow-map higher-order-array form (zero
+    shuffle); the eval side is a benchmark, orders of magnitude smaller
+    than a web corpus, so it is BROADCAST onto the train grams — the
+    only shuffles key on (doc_id, shingle) distincts and doc_id aggs,
+    never a shuffle of the corpus by raw shingle."""
+    g = _shingles(spark, sf_dir)
+    eval_g = (g.where(F.col("doc_id") % 97 == 0)
+              .select(F.col("doc_id").alias("eval_doc"), "shingle")
+              .distinct())
+    train_g = g.where(F.col("doc_id") % 97 != 0) \
+        .select("doc_id", "shingle").distinct()
+    totals = train_g.groupBy("doc_id") \
+        .agg(F.count("*").cast("bigint").alias("total_grams"))
+    hits = (train_g.join(F.broadcast(eval_g), "shingle")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("shingle").cast("bigint")
+                  .alias("n_gram_hits"),
+                 F.countDistinct("eval_doc").cast("bigint")
+                  .alias("n_eval_docs")))
+    return (hits.join(totals, "doc_id")
+            .select("doc_id", "n_gram_hits", "n_eval_docs", "total_grams",
+                    F.round(F.col("n_gram_hits") / F.col("total_grams"), 4)
+                     .alias("contamination_rate")))

@@ -259,3 +259,27 @@ def test_pii_scrub_plan_narrow_map(spark):
     from org_dharts_dia_tesseract_spark.queries import spark_queries
     df = spark_queries()["pii_scrub"](spark, SF)
     assert P.n_exchanges(df) == 0
+
+
+def test_paragraph_dedup_plan_single_shuffle(spark):
+    """Paragraph dedup: chunking is a narrow map (higher-order array fns,
+    no window), so the only exchanges serve the chunk aggregation — a
+    partial/final agg pair keyed on the chunk text. No cartesian, no
+    per-word shuffle."""
+    from org_dharts_dia_tesseract_spark.queries import spark_queries
+    df = spark_queries()["paragraph_dedup"](spark, SF)
+    s = P.explain_str(df)
+    assert "CartesianProduct" not in s
+    assert "Window" not in s
+    assert P.n_exchanges(df) <= 2
+
+
+def test_contamination_plan_broadcasts_eval_side(spark):
+    """Contamination: the benchmark (eval) gram set broadcasts onto the
+    train grams — the corpus is never shuffled by raw shingle for the
+    probe join; remaining exchanges key on doc_id/(doc_id, shingle)."""
+    from org_dharts_dia_tesseract_spark.queries import spark_queries
+    df = spark_queries()["benchmark_contamination"](spark, SF)
+    s = P.explain_str(df)
+    assert "BroadcastHashJoin" in s
+    assert "CartesianProduct" not in s
