@@ -107,16 +107,18 @@ def fit_baseline(ink: np.ndarray, box: tuple[int, int, int, int]) -> tuple[int, 
     if sub.sum() == 0:
         return (l, b, r, b)
     hs, ws = sub.shape
-    cols = np.flatnonzero(sub.any(axis=0))
+    cols = sub.any(axis=0).nonzero()[0]
     # lowest ink row per inked column: flip rows, argmax of first ink
     lowest = hs - 1 - np.argmax(sub[::-1, cols], axis=0)
     xs = cols.astype(np.float64)
     ys = lowest.astype(np.float64)
-    if len(xs) < 2 or np.ptp(xs) == 0:
-        y = int(round(ys.mean())) + t + 1
+    if len(xs) < 2 or xs[-1] == xs[0]:
+        # cols ascend, so ptp == last-first; sums of integer-valued f8
+        # are exact, so sum/len is the bit-exact mean
+        y = int(round(ys.sum() / len(ys))) + t + 1
         return (l, y, r, y)
     # closed-form least squares (polyfit/lstsq are ~10x slower per call)
-    mx, my = xs.mean(), ys.mean()
+    mx, my = xs.sum() / len(xs), ys.sum() / len(ys)
     dxs = xs - mx
     slope = float((dxs * (ys - my)).sum() / (dxs * dxs).sum())
     intercept = my - slope * mx

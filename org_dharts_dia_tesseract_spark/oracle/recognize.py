@@ -64,13 +64,24 @@ def recognize_blocks(blocks: list[Node], whitelist: str | None = None,
     for b in blocks:
         collect(b)
     if symbols:
-        flat = np.stack([_pad_bitmap(s.bitmap).ravel() for s in symbols]).astype(np.int16)
+        # one (n, AREA) buffer filled via row views: same values as the
+        # old per-symbol _pad_bitmap + stack + astype, without n temporary
+        # arrays (this is the per-page hot loop)
+        flat = np.zeros((len(symbols), GLYPH_AREA), dtype=np.int16)
+        for j, s in enumerate(symbols):
+            bmp = s.bitmap
+            h = min(bmp.shape[0], GLYPH_H)
+            w = min(bmp.shape[1], GLYPH_W)
+            flat[j].reshape(GLYPH_H, GLYPH_W)[:h, :w] = bmp[:h, :w]
         dists = np.abs(flat[:, None, :] - mat[None, :, :]).sum(axis=2)
         idxs = np.argmin(dists, axis=1)
         confs = 100.0 * (1.0 - dists[np.arange(len(symbols)), idxs] / GLYPH_AREA)
-        for s, i, cf in zip(symbols, idxs, confs):
-            s.text = chars[int(i)]
-            s.confidence = float(np.float32(cf))
+        # one vectorized float32 round-trip instead of np.float32() per
+        # symbol; .tolist() yields plain Python floats/ints
+        confs32 = confs.astype(np.float32).astype(np.float64).tolist()
+        for s, i, cf in zip(symbols, idxs.tolist(), confs32):
+            s.text = chars[i]
+            s.confidence = cf
 
     def word_confs(n: Node) -> list[float]:
         if n.level == "WORD":
@@ -93,7 +104,11 @@ def recognize_blocks(blocks: list[Node], whitelist: str | None = None,
             # (getConfidence contract: mean *word* confidence,
             # RecognitionResultsIterator.java:80-89)
             confs = word_confs(n)
-        n.confidence = float(np.float32(np.mean(confs))) if confs else None
+        # sum()/len() over the Python list: same value as np.mean after
+        # the float32 round (differences are ~1e-13 relative, far below
+        # float32 resolution), without the ndarray conversion per node
+        n.confidence = (float(np.float32(sum(confs) / len(confs)))
+                        if confs else None)
 
     for b in blocks:
         rollup(b)
@@ -111,8 +126,10 @@ def font_attributes(word: Node, line_height: int, ppi: int) -> dict:
     density = 0.0
     n_syms = len(word.children)
     if n_syms:
-        density = float(np.mean([c.bitmap.mean() for c in word.children
-                                 if c.bitmap is not None] or [0.0]))
+        # bitmap values are {0,1}: integer sum / size is the exact mean
+        ds = [float(c.bitmap.sum()) / c.bitmap.size for c in word.children
+              if c.bitmap is not None]
+        density = sum(ds) / len(ds) if ds else 0.0
     return {
         "bold": bool(density > 0.55),
         "italic": False,

@@ -119,10 +119,12 @@ def _trim(prof: _InkProfiles, box: Box) -> Box | None:
     l, t, r, b = box
     if r <= l or b <= t:
         return None
-    rows = np.flatnonzero(prof.row_profile(box))
+    # profiles are 1-D: .nonzero()[0] == np.flatnonzero without the
+    # ravel/asanyarray wrapper (hot path: called per XY-cut recursion)
+    rows = prof.row_profile(box).nonzero()[0]
     if len(rows) == 0:
         return None
-    cols = np.flatnonzero(prof.col_profile(box))
+    cols = prof.col_profile(box).nonzero()[0]
     return (l + int(cols[0]), t + int(rows[0]),
             l + int(cols[-1]) + 1, t + int(rows[-1]) + 1)
 
@@ -134,12 +136,12 @@ def _segments(profile: np.ndarray, min_gap: int) -> list[tuple[int, int]]:
     starts and ends at a nonzero profile position (i.e. segments are
     tight along this axis).
     """
-    nz = np.flatnonzero(profile)
+    nz = profile.nonzero()[0]
     if len(nz) == 0:
         return []
     segs = []
     pos = int(nz[0])
-    for g in np.flatnonzero(np.diff(nz) > 1):
+    for g in (nz[1:] - nz[:-1] > 1).nonzero()[0]:
         gs, ge = int(nz[g] + 1), int(nz[g + 1])
         if ge - gs >= min_gap:
             segs.append((pos, gs))
@@ -174,7 +176,7 @@ def classify_block(ink: np.ndarray, box: Box) -> str:
     l, t, r, b = box
     sub = ink[t:b, l:r]
     h, w = sub.shape
-    density = float(sub.mean()) if sub.size else 0.0
+    density = float(sub.sum()) / sub.size if sub.size else 0.0
     if density >= 0.85:
         if h <= 3 and w >= 4 * h:
             return HORZ_LINE
@@ -195,13 +197,13 @@ def _split_axis(prof: _InkProfiles, box: Box, axis: int,
     out = []
     if axis == 0:
         for s, e in _segments(prof.row_profile(box), min_gap):
-            cols = np.flatnonzero(prof.col_profile((l, t + s, r, t + e)))
+            cols = prof.col_profile((l, t + s, r, t + e)).nonzero()[0]
             if len(cols):
                 out.append((l + int(cols[0]), t + s,
                             l + int(cols[-1]) + 1, t + e))
     else:
         for s, e in _segments(prof.col_profile(box), min_gap):
-            rows = np.flatnonzero(prof.row_profile((l + s, t, l + e, b)))
+            rows = prof.row_profile((l + s, t, l + e, b)).nonzero()[0]
             if len(rows):
                 out.append((l + s, t + int(rows[0]),
                             l + e, t + int(rows[-1]) + 1))
@@ -355,8 +357,12 @@ def detect_orientation(ink: np.ndarray, box: Box) -> dict:
     if sub.size == 0 or sub.sum() == 0:
         return {"orientation": "UP", "writing_direction": "LTR",
                 "textline_order": "TTB", "deskew_angle": 0.0}
-    row_var = float(np.var(sub.sum(axis=1)))
-    col_var = float(np.var(sub.sum(axis=0)))
+    rp = sub.sum(axis=1, dtype=np.float64)
+    cp = sub.sum(axis=0, dtype=np.float64)
+    dr = rp - rp.sum() / rp.size
+    dc = cp - cp.sum() / cp.size
+    row_var = float((dr * dr).sum() / dr.size)
+    col_var = float((dc * dc).sum() / dc.size)
     orientation = "UP" if row_var >= col_var else "RIGHT"
     # deskew from the top textline band only (whole-block fits are skewed
     # by ragged line widths)
