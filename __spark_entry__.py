@@ -227,6 +227,7 @@ _PRIORITY = [
     "ocr_spans_jpeg_media", "ocr_spans_jp2_media", "ocr_spans_lang_hin",
     "pii_scrub", "type_token_ratio", "tfidf_top_terms",
     "paragraph_dedup", "benchmark_contamination",
+    "repetition_quality", "line_dedup_global", "dedup_clusters",
     # (2) last green in round 1 — due a fresh row
     "doc_fingerprint", "embedding_norms", "similarity_topk_cosine",
     "anti_join_idle_customers", "semi_join_active_parts",

@@ -218,3 +218,53 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text",
     jac = F.col("common") / (F.col("sa.n") + F.col("sb.n") - F.col("common"))
     return (scored.where(jac >= threshold)
             .select("id_a", "id_b", F.round(jac, 4).alias("jaccard")))
+
+
+def connected_components(pairs: DataFrame, src: str = "id_a",
+                         dst: str = "id_b",
+                         max_iter: int = 25) -> DataFrame:
+    """Label every node of an undirected pair graph with its component's
+    minimum node id -> (id, cluster_id).
+
+    The dedup use: near-dup candidate pairs (MinHash/SimHash/embedding)
+    are edges; one document per component survives. Pairwise loser-drop
+    (minhash_dedup) is transitively safe but can over-drop chains; the
+    component view keeps exactly one canonical doc per transitive
+    cluster and exposes cluster_size for audit.
+
+    Algorithm: hash-min label propagation — every round each node's
+    current label crosses its edges and min-aggregates. Rounds needed =
+    graph diameter, and near-dup clusters are dense (diameter 1-3), so
+    the loop converges in 2-4 rounds; max_iter only guards adversarial
+    chains (for those, the large-star/small-star rewrite of
+    Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14, drops in — same join shape, quadratic contraction).
+
+    Scale shape: per round ONE shuffle join (edges x labels, both keyed
+    on node id) + ONE min-agg (map-side combinable); labels are
+    localCheckpoint'ed each round so the plan never accumulates lineage;
+    convergence is detected with a limit(1) existence probe, not a full
+    count. Edges are cached once, sized |pairs| * 2.
+    """
+    e = (pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+         .union(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+         .distinct()
+         .persist())
+    labels = (e.select(F.col("s").alias("id")).distinct()
+              .select("id", F.col("id").alias("comp"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        msgs = (e.join(labels, e["s"] == labels["id"])
+                .select(F.col("d").alias("id"), "comp"))
+        new = (labels.union(msgs)
+               .groupBy("id").agg(F.min("comp").alias("comp"))
+               .localCheckpoint(eager=True))
+        changed = (new.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .where(F.col("n.comp") != F.col("o.comp"))
+                   .limit(1).count())
+        labels = new
+        if changed == 0:
+            break
+    e.unpersist()
+    return labels.select("id", F.col("comp").alias("cluster_id"))

@@ -2118,3 +2118,215 @@ def benchmark_contamination(spark, sf_dir):
             .select("doc_id", "n_gram_hits", "n_eval_docs", "total_grams",
                     F.round(F.col("n_gram_hits") / F.col("total_grams"), 4)
                      .alias("contamination_rate")))
+
+
+@q("repetition_quality", """
+    WITH arrs AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents),
+    chunked AS (
+      SELECT doc_id, len(ws) AS n_words, ws,
+             list_transform(
+               generate_series(0, CAST(ceil(len(ws) / 8.0) AS INT) - 1),
+               i -> array_to_string(list_slice(ws, i*8 + 1, i*8 + 8), ' '))
+               AS cs
+      FROM arrs WHERE len(ws) > 0),
+    dup AS (
+      SELECT doc_id, n_words, ws,
+             round(1.0 - len(list_distinct(cs)) * 1.0 / len(cs), 6)
+               AS dup_chunk_frac
+      FROM chunked),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(ws) - 1),
+                                   i -> ws[i] || ' ' || ws[i+1])) AS b
+      FROM arrs WHERE len(ws) >= 2),
+    cnt AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+    mx AS (SELECT doc_id, max(c) AS mc, sum(c) AS tot
+           FROM cnt GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(d.n_words AS BIGINT) AS n_words,
+           d.dup_chunk_frac,
+           round(COALESCE(m.mc * 1.0 / m.tot, 0.0), 6) AS top_bigram_frac
+    FROM dup d LEFT JOIN mx m USING (doc_id)
+""")
+def repetition_quality(spark, sf_dir):
+    """Gopher-style repetition quality signals (Rae et al. 2021, table
+    A1): per document, the fraction of duplicate 8-word chunks
+    (duplicate-line fraction analog for the space-joined corpus) and the
+    fraction of word bigrams covered by the single most frequent bigram.
+    High values flag machine-generated / boilerplate pages that per-doc
+    perplexity filters miss.
+
+    Scale shape: ZERO shuffle — both signals are per-row higher-order
+    array expressions. dup_chunk_frac is 1 - distinct/total over the
+    chunk array; the top-bigram count folds a sorted bigram array with
+    `aggregate` (longest equal run == max multiplicity), so no
+    (doc_id, bigram) explode-regroup ever reaches the exchange. The
+    oracle SQL uses the explode-regroup form precisely to be an
+    independent computation of the same values."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    d = docs.select("doc_id", ws.alias("__ws")) \
+        .where(F.size("__ws") > 0)
+    chunks = F.expr(
+        "transform(sequence(0, CAST(ceil(size(__ws) / 8.0) AS INT) - 1), "
+        "i -> array_join(slice(__ws, i*8 + 1, 8), ' '))")
+    best_run = F.expr(
+        "aggregate("
+        "  array_sort(CASE WHEN size(__ws) >= 2 THEN "
+        "    transform(sequence(0, size(__ws) - 2), "
+        "              i -> concat(__ws[i], ' ', __ws[i+1])) "
+        "    ELSE array() END), "
+        "  named_struct('prev', '', 'run', CAST(0 AS BIGINT), "
+        "               'best', CAST(0 AS BIGINT)), "
+        "  (acc, x) -> named_struct("
+        "    'prev', x, "
+        "    'run', IF(x = acc.prev, acc.run + 1, CAST(1 AS BIGINT)), "
+        "    'best', greatest(acc.best, "
+        "            IF(x = acc.prev, acc.run + 1, CAST(1 AS BIGINT)))), "
+        "  acc -> acc.best)")
+    return d.select(
+        "doc_id",
+        F.size("__ws").cast("bigint").alias("n_words"),
+        F.round(F.lit(1.0) - F.size(F.array_distinct(chunks))
+                / F.size(chunks), 6).alias("dup_chunk_frac"),
+        F.when(F.size("__ws") >= 2,
+               F.round(best_run / (F.size("__ws") - 1), 6))
+         .otherwise(F.lit(0.0)).alias("top_bigram_frac"))
+
+
+@q("line_dedup_global", f"""
+    WITH boil AS (
+      SELECT doc_id,
+             trim(text) ||
+             CASE WHEN doc_id % 7 = 0 THEN ' {_BOILER}' ELSE '' END AS t
+      FROM documents),
+    arrs AS (SELECT doc_id,
+                    list_filter(string_split(t, ' '), w -> w <> '') AS ws
+             FROM boil),
+    chunks AS (
+      SELECT doc_id, pos,
+             array_to_string(list_slice(ws, pos*8 + 1, pos*8 + 8), ' ')
+               AS chunk
+      FROM (SELECT doc_id, ws,
+                   unnest(generate_series(
+                     0, CAST(ceil(len(ws) / 8.0) AS INT) - 1)) AS pos
+            FROM arrs WHERE len(ws) > 0)),
+    dup AS (SELECT chunk FROM chunks
+            GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2),
+    marked AS (SELECT c.doc_id, c.pos, c.chunk,
+                      (d.chunk IS NOT NULL) AS isdup
+               FROM chunks c LEFT JOIN dup d USING (chunk))
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN isdup THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           COALESCE(string_agg(CASE WHEN NOT isdup THEN chunk END,
+                               ' ' ORDER BY pos), '') AS clean_text
+    FROM marked GROUP BY doc_id
+""")
+def line_dedup_global(spark, sf_dir):
+    """Corpus-level repeated-line removal (the CCNet / RefinedWeb
+    pre-dedup pass): any 8-word chunk appearing in >= 2 distinct
+    documents is boilerplate and is struck from EVERY document, which is
+    then reassembled in original order. Uses the same deterministic
+    injected boilerplate as paragraph_dedup (doc_id % 7), so the pass
+    provably removes it. Emits per doc: chunk counts and the cleaned
+    text.
+
+    Scale shape: chunking is a narrow map (higher-order array fns); the
+    corpus-frequent-chunk set is orders of magnitude smaller than the
+    corpus (it IS the boilerplate), so it comes back as a BROADCAST hash
+    join onto the chunk stream — no shuffle of the corpus by chunk text
+    on the probe side; the only wide exchanges are the dup-set
+    aggregation and the per-doc reassembly keyed on doc_id. Reassembly
+    sorts each doc's surviving (pos, chunk) structs inside the
+    aggregation buffer (array_sort over collect_list), never a global
+    sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.trim("text"), F.lit(" " + _BOILER))) \
+         .otherwise(F.trim("text"))
+    arr = docs.select("doc_id", t.alias("t")) \
+        .withColumn("__ws", F.filter(F.split("t", " "),
+                                     lambda w: w != "")) \
+        .where(F.size("__ws") > 0)
+    chunks = arr.select(
+        "doc_id",
+        F.posexplode(F.expr(
+            "transform(sequence(0, CAST(ceil(size(__ws) / 8.0) AS INT) - 1), "
+            "i -> array_join(slice(__ws, i*8 + 1, 8), ' '))"))
+         .alias("pos", "chunk"))
+    dup = (chunks.groupBy("chunk")
+           .agg(F.countDistinct("doc_id").alias("__nd"))
+           .where(F.col("__nd") >= 2)
+           .select("chunk", F.lit(True).alias("__dup")))
+    marked = chunks.join(F.broadcast(dup), "chunk", "left")
+    kept = F.when(F.col("__dup").isNull(),
+                  F.struct(F.col("pos"), F.col("chunk")))
+    return (marked.groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias("n_chunks"),
+                 F.sum(F.when(F.col("__dup").isNotNull(), 1).otherwise(0))
+                  .cast("bigint").alias("n_dropped"),
+                 F.array_join(
+                     F.transform(F.array_sort(F.collect_list(kept)),
+                                 lambda x: x["chunk"]),
+                     " ").alias("clean_text")))
+
+
+@q("dedup_clusters", f"""
+    WITH RECURSIVE sig AS ({_MINHASH_SQL}),
+    bands AS (
+        SELECT doc_id, md5(CAST(mh0 AS VARCHAR) || '_' ||
+                           CAST(mh1 AS VARCHAR)) AS band_key
+        FROM sig
+        UNION ALL
+        SELECT doc_id, md5(CAST(mh2 AS VARCHAR) || '_' ||
+                           CAST(mh3 AS VARCHAR)) AS band_key
+        FROM sig),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(id, comp) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.id),
+    lab AS (SELECT id, min(comp) AS cluster_id FROM reach GROUP BY id),
+    sz AS (SELECT cluster_id, count(*) AS cluster_size
+           FROM lab GROUP BY cluster_id)
+    SELECT CAST(l.id AS BIGINT) AS doc_id,
+           CAST(l.cluster_id AS BIGINT) AS cluster_id,
+           CAST(s.cluster_size AS BIGINT) AS cluster_size,
+           l.id = l.cluster_id AS is_canonical
+    FROM lab l JOIN sz s USING (cluster_id)
+""")
+def dedup_clusters(spark, sf_dir):
+    """Transitive near-duplicate clusters: connected components over the
+    MinHash-LSH candidate-pair graph, labeling every paired document
+    with its cluster's minimum doc_id. is_canonical marks the one
+    survivor per cluster — the keep/drop decision a dedup pipeline
+    actually ships, made transitively (A~B, B~C => one survivor among
+    {{A,B,C}}, which pairwise loser-dropping gets wrong on chains).
+
+    Spark side: iterative hash-min label propagation
+    (operators.dedup.connected_components — one shuffle join + one
+    map-side-combinable min-agg per round, localCheckpoint'ed,
+    converging in O(cluster diameter) rounds). The oracle recomputes the
+    same components declaratively with a recursive transitive-closure
+    CTE — tractable at gate scale, and an independent algorithm, so
+    parity is meaningful."""
+    from .operators.dedup import connected_components
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    labels = connected_components(pairs, "doc_a", "doc_b")
+    sizes = labels.groupBy("cluster_id") \
+        .agg(F.count("*").cast("bigint").alias("cluster_size"))
+    return (labels.join(sizes, "cluster_id")
+            .select(F.col("id").cast("bigint").alias("doc_id"),
+                    F.col("cluster_id").cast("bigint").alias("cluster_id"),
+                    "cluster_size",
+                    (F.col("id") == F.col("cluster_id"))
+                     .alias("is_canonical")))

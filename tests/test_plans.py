@@ -283,3 +283,44 @@ def test_contamination_plan_broadcasts_eval_side(spark):
     s = P.explain_str(df)
     assert "BroadcastHashJoin" in s
     assert "CartesianProduct" not in s
+
+
+def test_repetition_quality_plan_zero_exchange(spark):
+    """Both Gopher repetition signals are per-row higher-order array
+    expressions: the whole query is a narrow map over the documents
+    scan — zero exchanges, no explode-regroup of (doc_id, bigram)."""
+    from org_dharts_dia_tesseract_spark.queries import spark_queries
+    df = spark_queries()["repetition_quality"](spark, SF)
+    assert P.n_exchanges(df) == 0
+    s = P.explain_str(df)
+    assert "Generate" not in s          # no explode at all
+
+
+def test_line_dedup_global_plan_broadcasts_dup_set(spark):
+    """Corpus-level line dedup: the corpus-frequent-chunk set (the
+    boilerplate) joins back as a BROADCAST onto the chunk stream; the
+    probe side is never shuffled by chunk text. Wide exchanges remain
+    for the dup-set aggregation and the per-doc reassembly only."""
+    from org_dharts_dia_tesseract_spark.queries import spark_queries
+    df = spark_queries()["line_dedup_global"](spark, SF)
+    s = P.explain_str(df)
+    assert "BroadcastHashJoin" in s
+    assert "CartesianProduct" not in s
+    assert "SortMergeJoin" not in s     # probe join must not shuffle
+
+
+def test_connected_components_round_is_one_join_one_agg(spark):
+    """One CC round = one equi-join (edges x labels) + one
+    map-side-combinable min-agg; no cartesian, no window. (The loop
+    localCheckpoints per round, so lineage never grows — asserted here
+    by checkpointing being the plan root's input.)"""
+    from org_dharts_dia_tesseract_spark.operators.dedup import \
+        connected_components
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], ["id_a", "id_b"])
+    labels = connected_components(pairs, max_iter=1)
+    # after the loop the result reads from the checkpoint, not the
+    # original join tree: the plan must be flat (scan-shaped, no join)
+    s = P.explain_str(labels)
+    assert "Join" not in s
+    assert "Exchange" not in s

@@ -379,3 +379,73 @@ def test_hyperplane_signature_matches_left_to_right_fold(spark):
                 acc += float(v[j]) * W[p, j]
             exp += "1" if acc >= 0 else "0"
         assert got[i] == exp
+
+
+# -- round-3b: corpus hygiene additions -------------------------------------
+
+def test_connected_components_transitive_chain(spark):
+    from org_dharts_dia_tesseract_spark.operators.dedup import \
+        connected_components
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 11)], ["id_a", "id_b"])
+    got = {r["id"]: r["cluster_id"]
+           for r in connected_components(pairs).collect()}
+    # chain 1-2-3-4 collapses to one component even though (1,4) was
+    # never a pair — the transitivity pairwise loser-dropping misses
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 10}
+
+
+def test_connected_components_converges_on_star(spark):
+    from org_dharts_dia_tesseract_spark.operators.dedup import \
+        connected_components
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 9)], ["id_a", "id_b"])
+    rows = connected_components(pairs).collect()
+    assert all(r["cluster_id"] == 0 for r in rows)
+    assert len(rows) == 9
+
+
+def _crafted_corpus(spark, tmp_path):
+    rows = [
+        (1, "a b a b a b a b a b a b a b a b", "en", "s", 31),
+        (2, "q w e r t y u i o p", "en", "s", 19),
+        (7, "z z z z z z z z x x x x x x x x", "en", "s", 31),
+    ]
+    df = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    df.coalesce(1).write.mode("overwrite") \
+        .parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_repetition_quality_crafted(spark, tmp_path):
+    from org_dharts_dia_tesseract_spark.queries import spark_queries
+    sf = _crafted_corpus(spark, tmp_path)
+    out = {r["doc_id"]: r for r in
+           spark_queries()["repetition_quality"](spark, sf).collect()}
+    # doc 1: 16 words, both 8-word chunks identical -> dup frac 0.5;
+    # top bigram 'a b' covers 8 of 15 bigrams
+    assert out[1]["n_words"] == 16
+    assert out[1]["dup_chunk_frac"] == 0.5
+    assert out[1]["top_bigram_frac"] == round(8 / 15, 6)
+    # doc 2: all-distinct words -> no repetition at all
+    assert out[2]["dup_chunk_frac"] == 0.0
+    assert out[2]["top_bigram_frac"] == round(1 / 9, 6)
+    # doc 7: 'z z' x7 of 15 bigrams, chunks distinct
+    assert out[7]["dup_chunk_frac"] == 0.0
+    assert out[7]["top_bigram_frac"] == round(7 / 15, 6)
+
+
+def test_line_dedup_global_strikes_injected_boilerplate(spark):
+    from org_dharts_dia_tesseract_spark.queries import spark_queries
+    out = spark_queries()["line_dedup_global"](
+        spark, "/root/testdata/sf0.001")
+    hit = (out.where(F.col("doc_id") % 7 == 0)
+           .agg(F.sum((F.col("n_dropped") > 0).cast("int")).alias("h"),
+                F.count("*").alias("n")).collect()[0])
+    # every doc_id % 7 == 0 doc carries the injected boilerplate chunk,
+    # shared across all of them -> each must have dropped chunks
+    assert hit["h"] == hit["n"] > 0
+    # and no cleaned text may still contain the boilerplate tail
+    from org_dharts_dia_tesseract_spark.queries import _BOILER
+    assert out.where(F.col("clean_text").contains(_BOILER)).count() == 0
