@@ -221,15 +221,42 @@ def _build_text_block(ink: np.ndarray, prof: _InkProfiles, box: Box) -> Node:
             # word's extent (Tesseract's baseline is a per-line property)
             lx1, ly1, lx2, ly2 = lb
             slope = (ly2 - ly1) / max(lx2 - lx1, 1)
-            for wbox in _split_axis(prof, lbox, 1, WORD_GAP_MIN):
-                wl, _, wr, _ = wbox
+            # ONE symbol-resolution segmentation of the line's column
+            # profile; words are runs merged across sub-WORD_GAP gaps
+            # (identical boxes to the former per-word re-profiling:
+            # _segments(p, WORD_GAP_MIN) merges min_gap=1 runs whose
+            # separating gap is below threshold, and a word's column
+            # profile restricted to its own rows equals the line's)
+            ll, lt, lr, lbt = lbox
+            runs = _segments(prof.col_profile(lbox), 1)
+            groups: list[list[tuple[int, int]]] = [[runs[0]]] if runs else []
+            for prev, nxt in zip(runs, runs[1:]):
+                if nxt[0] - prev[1] >= WORD_GAP_MIN:
+                    groups.append([])
+                groups[-1].append(nxt)
+            for g in groups:
+                ws, we = g[0][0], g[-1][1]
+                rows = prof.row_profile(
+                    (ll + ws, lt, ll + we, lbt)).nonzero()[0]
+                if len(rows) == 0:
+                    continue
+                wt = lt + int(rows[0])
+                wbm = lt + int(rows[-1]) + 1
+                wl, wr = ll + ws, ll + we
                 wb = (wl, int(round(ly1 + slope * (wl - lx1))),
                       wr, int(round(ly1 + slope * (wr - lx1))))
-                word = Node("WORD", wbox, FLOWING_TEXT, baseline=wb)
-                for sbox in _split_axis(prof, wbox, 1, 1):
-                    sl, st, sr, sb = sbox
+                word = Node("WORD", (wl, wt, wr, wbm), FLOWING_TEXT,
+                            baseline=wb)
+                for s, e in g:
+                    srows = prof.row_profile(
+                        (ll + s, wt, ll + e, wbm)).nonzero()[0]
+                    if len(srows) == 0:
+                        continue
+                    st = wt + int(srows[0])
+                    sb = wt + int(srows[-1]) + 1
+                    sl, sr = ll + s, ll + e
                     word.children.append(
-                        Node("SYMBOL", sbox, FLOWING_TEXT,
+                        Node("SYMBOL", (sl, st, sr, sb), FLOWING_TEXT,
                              baseline=word.baseline,
                              bitmap=ink[st:sb, sl:sr].copy())
                     )
