@@ -192,6 +192,31 @@ def _ocr_spans_jp2_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_spans(docs, reencode_media(media, "jp2"))
 
 
+def _ocr_spans_pdf_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span extraction over PDF-wrapped media payloads (codecs_pdf: a
+    from-scratch single-page PDF writer/parser, FlateDecode image
+    XObjects via stdlib zlib). The reference REJECTS pdf
+    (ImageIOHelper.java:278-282); the north rule names PDF parse as a
+    main-content tier, so here it is a real codec. Lossless, so spans
+    are byte-identical to the raw run's — the oracle parquet pins that."""
+    from org_dharts_dia_tesseract_spark.operators import extract_spans
+    from org_dharts_dia_tesseract_spark.operators.multimodal import \
+        reencode_media
+    docs, media = _interleaved_corpus(spark, sf_dir, 200)
+    return extract_spans(docs, reencode_media(media, "pdf"))
+
+
+def _pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF text-layer parse: render each document's text spans as a
+    Tj-stream PDF (sink), then parse the shown strings back out
+    (source). The oracle parquet is computed PDF-FREE from the raw
+    spans, so a writer/parser bug on either side breaks the hash."""
+    from org_dharts_dia_tesseract_spark.operators.pdf import (
+        docs_to_pdf, pdf_extract_text)
+    docs, _ = _interleaved_corpus(spark, sf_dir, 200)
+    return pdf_extract_text(docs_to_pdf(docs))
+
+
 def _ocr_spans_lang_hin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span extraction initialized with the SECOND installed language
     pack ('hin': a different deterministic glyph atlas). Recognition
@@ -224,7 +249,11 @@ _PRIORITY = [
     "ocr_tiff_merge",
     # (1c) new this round
     "ocr_spans_deflate_media", "ocr_spans_png_media", "ocr_spans_gif_media",
-    "ocr_spans_jpeg_media", "ocr_spans_jp2_media", "ocr_spans_lang_hin",
+    "ocr_spans_jpeg_media", "ocr_spans_jp2_media",
+    "ocr_spans_pdf_media", "pdf_text_extract",   # never-had-a-row > stale:
+    # these two displace json_props_extract/array_component_stats (r1
+    # green, code unchanged since) past the 50-entry cap this round
+    "ocr_spans_lang_hin",
     "pii_scrub", "type_token_ratio", "tfidf_top_terms",
     "paragraph_dedup", "benchmark_contamination",
     "repetition_quality", "line_dedup_global", "dedup_clusters",
@@ -267,6 +296,8 @@ _RASTER_GATES = {
     "ocr_spans_gif_media": _ocr_spans_gif_media,
     "ocr_spans_jpeg_media": _ocr_spans_jpeg_media,
     "ocr_spans_jp2_media": _ocr_spans_jp2_media,
+    "ocr_spans_pdf_media": _ocr_spans_pdf_media,
+    "pdf_text_extract": _pdf_text_extract,
     "ocr_spans_lang_hin": _ocr_spans_lang_hin,
     "ocr_unlv_text": _ocr_unlv_text,
     "ocr_page_osd": _ocr_page_osd,

@@ -11,8 +11,9 @@ GIF 87a/89a (8-bit palette, real variable-width LZW in both directions,
 interlace on decode), baseline greyscale JPEG (real Huffman + 8x8
 DCT; the one LOSSY codec — see its section), and JPEG 2000 (codecs_jp2:
 MQ arithmetic coder + EBCOT three-pass code-blocks + reversible 5/3
-wavelet; LOSSLESS). PDF stays rejected, mirroring
-ImageIOHelper.java:278-282.
+wavelet; LOSSLESS). PDF — which the reference rejects
+(ImageIOHelper.java:278-282) — is handled by codecs_pdf (FlateDecode /
+DCTDecode image XObjects + a Tj/TJ text layer) and registered here.
 
 Every decoder returns uint8 arrays shaped (h, w) for 1 band or
 (h, w, bands); every encoder except JPEG (inherently lossy) is its exact
@@ -1046,9 +1047,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 # uniform across all seven formats.
 from .codecs_jp2 import decode_jp2, encode_jp2  # noqa: E402
 
+from .codecs_pdf import decode_pdf, encode_pdf  # noqa: E402 — registry
+
 DECODERS = {"bmp": decode_bmp, "pnm": decode_pnm, "tiff": decode_tiff,
             "png": decode_png, "gif": decode_gif, "jpeg": decode_jpeg,
-            "jp2": decode_jp2}
+            "jp2": decode_jp2, "pdf": decode_pdf}
 ENCODERS = {"bmp": encode_bmp, "pnm": encode_pnm, "tiff": encode_tiff,
             "png": encode_png, "gif": encode_gif, "jpeg": encode_jpeg,
-            "jp2": encode_jp2}
+            "jp2": encode_jp2, "pdf": encode_pdf}

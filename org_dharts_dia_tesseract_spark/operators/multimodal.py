@@ -9,9 +9,12 @@ interlace) / baseline greyscale JPEG (real Huffman+DCT; lossy, but the
 binarization margin keeps spans identical) / JPEG 2000 (MQ coder +
 EBCOT + reversible 5/3 wavelet; lossless) — the reference's FULL
 ImageIO decode surface (ImageIOHelper.java:263-327), every format a
-real coder. PDF is rejected like the reference
-(ImageIOHelper.java:278-282). The Spark-side plumbing (schema, batching,
-partitioning) is identical across all paths and fully tested.
+real coder. PDF — which the reference rejects
+(ImageIOHelper.java:278-282 throws) — is decoded too (codecs_pdf:
+FlateDecode/DCTDecode image XObjects), since the north rule names
+PDF parse as a main-content-extraction tier. The Spark-side plumbing
+(schema, batching, partitioning) is identical across all paths and
+fully tested.
 
 All operators are `mapInPandas` stages over Arrow batches; nothing is
 per-row Python.
@@ -30,7 +33,7 @@ from pyspark.sql import types as T
 from ..codecs_img import DECODERS, ENCODERS, sniff_codec
 
 SUPPORTED_RAW = "raw"   # row-major uint8, length == width*height*bands
-CODECS_REAL = ("bmp", "pnm", "tiff", "png", "gif", "jpeg", "jp2")
+CODECS_REAL = ("bmp", "pnm", "tiff", "png", "gif", "jpeg", "jp2", "pdf")
 CODECS_STUBBED: tuple[str, ...] = ()   # every reference format is real now
 DEFAULT_DPI = 96
 
@@ -53,7 +56,6 @@ def decode(payload: bytes, width: int, height: int, bands: int,
         raise NotImplementedError(  # documented gate for future formats
             f"codec {codec!r} requires an imaging library absent from "
             "this environment")
-    # PDF is *rejected*, not stubbed (ImageIOHelper.java:278-282 throws)
     raise ValueError(f"unsupported media codec {codec!r}")
 
 

@@ -146,31 +146,45 @@ def decode_payload(payload: bytes, width: int, height: int, bands: int) -> np.nd
     Raw row-major uint8 is the fast path (the rebuild of
     ImageIOHelper.convertImageData:249-257 byte-buffer handoff; zero-copy
     from Arrow on the Spark side), identified by exact length match.
-    Otherwise the payload is sniffed for a real codec (BMP/PNM/TIFF —
-    pure-numpy decoders in codecs_img.py, the decodable subset of
-    ImageIOHelper.java:263-327); PDF raises like the reference
-    (ImageIOHelper.java:278-282)."""
-    if len(payload) == width * height * bands:
+    Otherwise the payload is sniffed for a real codec (the full decode
+    surface of ImageIOHelper.java:263-327 — pure-numpy decoders in
+    codecs_img.py — plus PDF image XObjects via codecs_pdf, which the
+    reference rejects at ImageIOHelper.java:278-282 but the north rule
+    names as a main-content tier)."""
+    from ..codecs_img import DECODERS, sniff_codec
+    codec = sniff_codec(bytes(payload[:8]))
+    raw_len = len(payload) == width * height * bands
+    if codec is not None:
+        # Magic sniff OUTRANKS the raw length heuristic: an encoded
+        # payload can collide with w*h*bands by length (observed: a
+        # 2929-byte PDF of a 29x101 page), whereas raw pixel bytes that
+        # both start with a codec magic AND decode to the declared dims
+        # are vanishingly rare — and a shape mismatch falls back to raw.
+        try:
+            img = DECODERS[codec](bytes(payload))
+        except Exception as ex:
+            if raw_len:
+                img = None            # magic was a pixel coincidence
+            else:
+                raise ValueError(f"{codec} payload failed to decode "
+                                 f"({ex}) and length {len(payload)} != "
+                                 f"{width}x{height}x{bands}") from ex
+        if img is not None:
+            got_bands = 1 if img.ndim == 2 else img.shape[2]
+            if img.shape[:2] == (height, width) and got_bands == bands:
+                return img
+            if not raw_len:
+                raise ValueError(
+                    f"{codec} payload decodes to {img.shape}, metadata "
+                    f"says ({height}, {width}) x {bands}")
+    if raw_len:
         arr = np.frombuffer(payload, dtype=np.uint8)
         if bands == 1:
             return arr.reshape(height, width)
         return arr.reshape(height, width, bands)
-    from ..codecs_img import DECODERS, sniff_codec
-    codec = sniff_codec(bytes(payload[:8]))
-    if codec == "pdf":
-        raise ValueError("PDF media is rejected, not decoded "
-                         "(ImageIOHelper.java:278-282)")
-    if codec is None:
-        raise ValueError(
-            f"payload length {len(payload)} != {width}x{height}x{bands} "
-            "and no known codec magic")
-    img = DECODERS[codec](bytes(payload))
-    got_bands = 1 if img.ndim == 2 else img.shape[2]
-    if img.shape[:2] != (height, width) or got_bands != bands:
-        raise ValueError(
-            f"{codec} payload decodes to {img.shape}, metadata says "
-            f"({height}, {width}) x {bands}")
-    return img
+    raise ValueError(
+        f"payload length {len(payload)} != {width}x{height}x{bands} "
+        "and no known codec magic")
 
 
 def analyze_page(img: np.ndarray, psm: str = "AUTO", roi: Box | None = None,

@@ -387,6 +387,23 @@ def _html_main_table(sf_dir: str) -> pa.Table:
     })
 
 
+def _pdf_text_table(corpus: Corpus, n_docs: int) -> pa.Table:
+    """pdf_text_extract expectation, computed PDF-FREE: the text lines a
+    correct writer+parser round-trip must reproduce are exactly the raw
+    text spans in offset order (operators/pdf.py:_text_lines twin)."""
+    ids, n_lines, texts = [], [], []
+    for doc in corpus.docs[:n_docs]:
+        lines = [s["text"] for s in sorted(doc["spans"],
+                                           key=lambda s: s["offset"])
+                 if s["kind"] == "text"]
+        ids.append(doc["doc_id"])
+        n_lines.append(len(lines))
+        texts.append("\n".join(lines))
+    return pa.table({"doc_id": pa.array(ids, pa.string()),
+                     "n_lines": pa.array(n_lines, pa.int32()),
+                     "text": pa.array(texts, pa.string())})
+
+
 # -- main -------------------------------------------------------------------
 
 def main() -> None:
@@ -408,6 +425,8 @@ def main() -> None:
     write("ocr_spans_gif_media", _spans_table(spans_200))
     write("ocr_spans_jpeg_media", _spans_table(spans_200))
     write("ocr_spans_jp2_media", _spans_table(spans_200))
+    write("ocr_spans_pdf_media", _spans_table(spans_200))
+    write("pdf_text_extract", _pdf_text_table(corpus, CAP_MEDIA))
     write("ocr_spans_lang_hin",
           _spans_table(_span_rows(corpus, CAP_MEDIA, langs=("hin",))))
     hier = list(_hierarchy_rows(corpus, CAP_PIPELINE))

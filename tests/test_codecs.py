@@ -122,7 +122,8 @@ def test_multimodal_decode_codecs():
         M.decode(b"xx", 1, 1, 1, codec="webp")
 
 
-@pytest.mark.parametrize("codec", ["bmp", "tiff", "png", "gif", "jp2"])
+@pytest.mark.parametrize("codec", ["bmp", "tiff", "png", "gif", "jp2",
+                                   "pdf"])
 def test_pipeline_over_encoded_media(spark, codec):
     """The invariant survives the codec path: spans from codec-encoded
     payloads == spans from raw payloads, byte for byte."""

@@ -320,14 +320,15 @@ def test_multimodal_resize(spark, corpus_small):
 
 def test_multimodal_codec_surface():
     """Every reference format is a real codec since round 3 (JP2 was the
-    last stub); unknown codecs and PDF reject with typed errors."""
+    last stub) — plus PDF, which the reference rejects but the north
+    rule names; unknown codecs reject with typed errors."""
     assert M.CODECS_STUBBED == ()
     assert set(M.CODECS_REAL) == {"bmp", "pnm", "tiff", "png", "gif",
-                                  "jpeg", "jp2"}
+                                  "jpeg", "jp2", "pdf"}
     with pytest.raises(ValueError):            # malformed jp2 payload
         M.decode(b"xx", 1, 1, 1, codec="jp2")
-    with pytest.raises(ValueError):
-        M.decode(b"xx", 1, 1, 1, codec="pdf")   # PDF rejected, not stubbed
+    with pytest.raises(ValueError):            # malformed pdf payload
+        M.decode(b"xx", 1, 1, 1, codec="pdf")
     with pytest.raises(ValueError):
         M.decode(b"xx", 1, 1, 1, codec="webp")  # unknown codec
 

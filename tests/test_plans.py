@@ -296,6 +296,17 @@ def test_repetition_quality_plan_zero_exchange(spark):
     assert "Generate" not in s          # no explode at all
 
 
+def test_pdf_sink_source_plan_narrow_maps(spark, corpus_paths):
+    """docs_to_pdf -> pdf_extract_text is two chained MapInPandas stages
+    over the documents scan: zero exchanges — at 100 TB each task
+    writes/parses only its own split's PDFs."""
+    from org_dharts_dia_tesseract_spark.operators.pdf import (
+        docs_to_pdf, pdf_extract_text)
+    docs = spark.read.parquet(corpus_paths[0])
+    df = pdf_extract_text(docs_to_pdf(docs))
+    assert P.n_exchanges(df) == 0
+
+
 def test_line_dedup_global_plan_broadcasts_dup_set(spark):
     """Corpus-level line dedup: the corpus-frequent-chunk set (the
     boilerplate) joins back as a BROADCAST onto the chunk stream; the
