@@ -4,8 +4,9 @@ Rebuilds the reference's full ImageIO decode surface
 (ImageIOHelper.java:263-327 decodes TIFF/JPEG/GIF/PNG/BMP/PNM/JP2 via
 javax.imageio) without an imaging library:
 uncompressed BMP (8-bit greyscale palette + 24-bit BGR), binary/ASCII PNM
-(P2/P3/P5/P6), TIFF (single or multi strip, compression none=1,
-Adobe/legacy DEFLATE=8/32946 via stdlib zlib, or PackBits=32773, grey or
+(P2/P3/P5/P6), TIFF (single or multi strip, compression none=1, LZW=5
+with the MSB-first early-change convention, Adobe/legacy DEFLATE=8/32946
+via stdlib zlib, or PackBits=32773; horizontal Predictor tag 317, grey or
 RGB), PNG (8-bit grey/RGB, zlib IDAT, all five scanline filters),
 GIF 87a/89a (8-bit palette, real variable-width LZW in both directions,
 interlace on decode), baseline greyscale JPEG (real Huffman + 8x8
@@ -185,8 +186,100 @@ def decode_pnm(data: bytes) -> np.ndarray:
 
 _TIFF_TAGS = {256: "width", 257: "height", 258: "bits", 259: "compression",
               262: "photometric", 273: "strip_offsets", 277: "samples",
-              278: "rows_per_strip", 279: "strip_counts"}
+              278: "rows_per_strip", 279: "strip_counts",
+              317: "predictor"}
 _TYPE_SIZE = {1: 1, 3: 2, 4: 4}
+
+
+def _tiff_lzw_encode(raw: bytes) -> bytes:
+    """TIFF-variant LZW (compression 5): byte-string dictionary, 9..12
+    bit codes packed MSB-FIRST, 256=Clear / 257=EOI, and the spec's
+    "early change" — the code width bumps when the next free code
+    reaches (1<<width)-1, one entry earlier than the GIF variant."""
+    out = bytearray()
+    acc = n_bits = 0
+    width = 9
+
+    def emit(code: int) -> None:
+        nonlocal acc, n_bits
+        acc = (acc << width) | code
+        n_bits += width
+        while n_bits >= 8:
+            out.append((acc >> (n_bits - 8)) & 255)
+            n_bits -= 8
+            acc &= (1 << n_bits) - 1
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(256)                                   # Clear opens the stream
+    seq = b""
+    for b in raw:
+        cand = seq + bytes([b])
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq])
+        table[cand] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1:       # early change
+            if width < 12:
+                width += 1
+            else:                               # dictionary full -> reset
+                emit(256)
+                table = {bytes([i]): i for i in range(256)}
+                next_code, width = 258, 9
+        seq = bytes([b])
+    if seq:
+        emit(table[seq])
+    emit(257)                                   # EOI
+    if n_bits:
+        out.append((acc << (8 - n_bits)) & 255)
+    return bytes(out)
+
+
+def _tiff_lzw_decode(data: bytes, n_bytes: int) -> bytes:
+    """Inverse of _tiff_lzw_encode; also reads libtiff output (same
+    MSB-first early-change convention)."""
+    out = bytearray()
+    acc = n_bits = i = 0
+    width = 9
+    table = [bytes([j]) for j in range(256)] + [b"", b""]
+    prev: bytes | None = None
+    while len(out) < n_bytes:
+        while n_bits < width:
+            if i >= len(data):
+                raise ValueError("TIFF LZW stream truncated")
+            acc = (acc << 8) | data[i]
+            i += 1
+            n_bits += 8
+        code = (acc >> (n_bits - width)) & ((1 << width) - 1)
+        n_bits -= width
+        acc &= (1 << n_bits) - 1
+        if code == 256:                         # Clear
+            table = [bytes([j]) for j in range(256)] + [b"", b""]
+            width, prev = 9, None
+            continue
+        if code == 257:                         # EOI
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError(f"TIFF LZW code {code} out of range")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):                # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"TIFF LZW code {code} out of range")
+        # early change, minus one more because the decoder's table lags
+        # the encoder's by one entry (the in-flight KwKwK entry)
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+        out += entry
+        prev = entry
+    return bytes(out[:n_bytes])
 
 
 def packbits_encode(row: np.ndarray) -> bytes:
@@ -232,28 +325,41 @@ def packbits_decode(data: bytes, expected: int) -> bytes:
     return bytes(out)
 
 
-_TIFF_COMPRESSION = {"none": 1, "deflate": 8, "packbits": 32773}
+_TIFF_COMPRESSION = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}
 
 
 def encode_tiff(img: np.ndarray, packbits: bool = False,
-                compression: str | None = None) -> bytes:
+                compression: str | None = None,
+                predictor: bool = False) -> bytes:
     """Single-IFD little-endian baseline TIFF, one strip per row.
 
-    compression: 'none' | 'packbits' | 'deflate' (Adobe DEFLATE, tag
-    value 8 — zlib streams per strip, the most common scanned-page TIFF
-    encoding after none/PackBits); the legacy `packbits` bool is kept for
-    callers predating the deflate path."""
+    compression: 'none' | 'packbits' | 'lzw' (tag 5 — MSB-first
+    early-change LZW, libtiff-compatible) | 'deflate' (Adobe DEFLATE,
+    tag value 8 — zlib streams per strip); the legacy `packbits` bool is
+    kept for callers predating the deflate path.
+
+    predictor: horizontal differencing (tag 317 = 2), the standard
+    companion to LZW/DEFLATE for scanned pages."""
     if compression is None:
         compression = "packbits" if packbits else "none"
     if compression not in _TIFF_COMPRESSION:
         raise ValueError(f"TIFF compression must be one of "
                          f"{sorted(_TIFF_COMPRESSION)}, got {compression!r}")
+    if predictor and compression not in ("lzw", "deflate"):
+        raise ValueError("TIFF predictor requires lzw or deflate "
+                         f"compression, got {compression!r}")
     img = np.ascontiguousarray(img, dtype=np.uint8)
     h, w = img.shape[:2]
     bands = 1 if img.ndim == 2 else img.shape[2]
+    if predictor:       # per-sample diff vs previous pixel, same band
+        diff = img.astype(np.int16)
+        diff[:, 1:] -= img[:, :-1].astype(np.int16)
+        img = (diff % 256).astype(np.uint8)
     rows = img.reshape(h, w * bands)
     if compression == "packbits":
         strips = [packbits_encode(rows[y]) for y in range(h)]
+    elif compression == "lzw":
+        strips = [_tiff_lzw_encode(rows[y].tobytes()) for y in range(h)]
     elif compression == "deflate":
         import zlib
         strips = [zlib.compress(rows[y].tobytes()) for y in range(h)]
@@ -264,7 +370,7 @@ def encode_tiff(img: np.ndarray, packbits: bool = False,
 
     # layout: header(8) | IFD | [bits array if bands==3] | strip offsets |
     #         strip counts | pixel data
-    n_entries = 9
+    n_entries = 10 if predictor else 9
     ifd_off = 8
     after_ifd = ifd_off + 2 + n_entries * 12 + 4
     bits_off = after_ifd
@@ -296,6 +402,8 @@ def encode_tiff(img: np.ndarray, packbits: bool = False,
         (entry(279, 4, 1, len(strips[0])) if h == 1
          else entry(279, 4, h, sc_off)),
     ]
+    if predictor:
+        entries.append(entry(317, 3, 1, 2))
     out = bytearray()
     out += struct.pack("<2sHI", b"II", 42, ifd_off)
     out += struct.pack("<H", n_entries)
@@ -348,10 +456,14 @@ def _decode_tiff_ifd(data: bytes, endian: str, ifd_off: int) -> np.ndarray:
     rows_per_strip = tags.get("rows_per_strip", [h])[0]
     if any(b != 8 for b in tags.get("bits", [8])):
         raise NotImplementedError("TIFF bits-per-sample != 8 unsupported")
-    if compression not in (1, 8, 32773, 32946):
+    if compression not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(
             f"TIFF compression {compression} unsupported "
-            "(none/DEFLATE/PackBits only)")
+            "(none/LZW/DEFLATE/PackBits only)")
+    predictor = tags.get("predictor", [1])[0]
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {predictor} unsupported "
+                                  "(none/horizontal only)")
     row_bytes = w * bands
     chunks = []
     for si, (off, cnt) in enumerate(zip(tags["strip_offsets"],
@@ -360,6 +472,8 @@ def _decode_tiff_ifd(data: bytes, endian: str, ifd_off: int) -> np.ndarray:
         raw = data[off: off + cnt]
         if compression == 32773:
             raw = packbits_decode(raw, n_rows * row_bytes)
+        elif compression == 5:            # LZW (MSB-first, early change)
+            raw = _tiff_lzw_decode(raw, n_rows * row_bytes)
         elif compression in (8, 32946):   # Adobe / legacy DEFLATE
             import zlib
             raw = zlib.decompress(raw)
@@ -367,6 +481,8 @@ def _decode_tiff_ifd(data: bytes, endian: str, ifd_off: int) -> np.ndarray:
                                     count=n_rows * row_bytes))
     px = np.concatenate(chunks)
     img = px.reshape((h, w) if bands == 1 else (h, w, bands))
+    if predictor == 2:      # undo horizontal differencing (per row/band)
+        img = (np.cumsum(img, axis=1, dtype=np.int64) % 256).astype(np.uint8)
     if tags.get("photometric", [1])[0] == 0:          # WhiteIsZero
         img = 255 - img
     return np.ascontiguousarray(img)

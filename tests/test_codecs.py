@@ -35,6 +35,36 @@ def test_tiff_packbits_roundtrip(img):
     assert (C.decode_tiff(enc) == img).all()
 
 
+@pytest.mark.parametrize("img", [GREY, RGB], ids=["grey", "rgb"])
+@pytest.mark.parametrize("predictor", [False, True], ids=["flat", "pred2"])
+def test_tiff_lzw_roundtrip(img, predictor):
+    enc = C.encode_tiff(img, compression="lzw", predictor=predictor)
+    dec = C.decode_tiff(enc)
+    assert dec.shape == img.shape and (dec == img).all()
+
+
+def test_tiff_lzw_width_growth_and_dict_reset():
+    """200k random bytes force the 9->12 bit width ladder and multiple
+    dictionary resets (the early-change convention either side of the
+    decoder's one-entry lag is where implementations diverge)."""
+    raw = np.random.default_rng(17).integers(
+        0, 256, 200_000, dtype=np.uint8).tobytes()
+    assert C._tiff_lzw_decode(C._tiff_lzw_encode(raw), len(raw)) == raw
+
+
+def test_tiff_predictor_shrinks_gradients():
+    """Horizontal differencing turns smooth ramps into runs — the reason
+    scanned-page TIFFs pair predictor 2 with LZW."""
+    grad = np.tile(np.arange(300, dtype=np.uint64) % 256,
+                   (50, 1)).astype(np.uint8)
+    plain = C.encode_tiff(grad, compression="lzw")
+    pred = C.encode_tiff(grad, compression="lzw", predictor=True)
+    assert len(pred) < len(plain) // 2
+    assert (C.decode_tiff(pred) == grad).all()
+    with pytest.raises(ValueError, match="predictor requires"):
+        C.encode_tiff(grad, compression="none", predictor=True)
+
+
 def test_packbits_compresses_runs():
     flat = np.full((4, 64), 128, dtype=np.uint8)
     assert len(C.encode_tiff(flat, packbits=True)) < len(C.encode_tiff(flat))
@@ -82,11 +112,16 @@ def test_malformed_payloads():
         struct.pack_into("<I", bad, 30, 1)
         C.decode_bmp(bytes(bad))
     with pytest.raises(NotImplementedError):
-        # LZW tiff
+        # CCITT G3 tiff (LZW graduated to a real decoder)
         bad = bytearray(C.encode_tiff(GREY))
         # compression entry is the 4th (0-based 3): value at +8 into entry
         off = 8 + 2 + 3 * 12 + 8
-        struct.pack_into("<H", bad, off, 5)
+        struct.pack_into("<H", bad, off, 3)
+        C.decode_tiff(bytes(bad))
+    with pytest.raises(ValueError, match="LZW"):
+        # valid LZW tag but garbage stream: typed error, not IndexError
+        bad = bytearray(C.encode_tiff(GREY))
+        struct.pack_into("<H", bad, 8 + 2 + 3 * 12 + 8, 5)
         C.decode_tiff(bytes(bad))
 
 
