@@ -230,50 +230,39 @@ def _ocr_spans_lang_hin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Driver-checked order: the correctness gate reads this dict in insertion
 # order and checks the FIRST 50 entries per round, so freshness is a
-# rotation policy: (1) entries that have never had a green rows+schema+
-# hash row — this round that is the 12 formerly rows-only/red gates, all
-# newly backed by parquet oracles, plus the 2 new gates; (2) the 24
-# entries whose last green row is round 1 (unchecked in round 2's 50);
-# (3) a tranche of round-2 greens, so no entry's row goes more than one
-# round stale.
+# rotation policy. Round-4 window (stalest first): (0) gates NEW this
+# round (never had a row); (1) the 2 entries whose last green driver row
+# is round 1 (json_props_extract / array_component_stats sat just past
+# round 3's cap); (2) the 38 entries last green in round 2; (3) round-3
+# greens whose CODE changes this round (two-pass rank windows,
+# convergence-guarded clusters); (4) a fill tranche of round-3 flagship
+# gates. Everything past the cap is at most one round stale (green in
+# CORRECTNESS_r03.json) and verified by scripts/check_gate.py locally.
 _PRIORITY = [
-    # (1a) formerly red (array output crashed the driver's canonicalizer;
-    # now exploded to scalar rows)
-    "winnow_fingerprints",
-    # (1b) formerly rows-only, now parquet-oracled (single-process numpy
-    # oracle expectations — scripts/gen_expected.py)
-    "html_main_content",
-    "ocr_extract_spans", "ocr_hierarchy", "ocr_layout_only",
-    "ocr_training_corpus", "ocr_annotated_pages", "ocr_word_font_attrs",
-    "ocr_spans_bmp_media", "ocr_unlv_text", "ocr_page_osd",
-    "ocr_tiff_merge",
-    # (1c) new this round
-    "ocr_spans_deflate_media", "ocr_spans_png_media", "ocr_spans_gif_media",
-    "ocr_spans_jpeg_media", "ocr_spans_jp2_media",
-    "ocr_spans_pdf_media", "pdf_text_extract",   # never-had-a-row > stale:
-    # these two displace json_props_extract/array_component_stats (r1
-    # green, code unchanged since) past the 50-entry cap this round
-    "ocr_spans_lang_hin",
-    "pii_scrub", "type_token_ratio", "tfidf_top_terms",
-    "paragraph_dedup", "benchmark_contamination",
-    "repetition_quality", "line_dedup_global", "dedup_clusters",
-    # (2) last green in round 1 — due a fresh row
-    "doc_fingerprint", "embedding_norms", "similarity_topk_cosine",
-    "anti_join_idle_customers", "semi_join_active_parts",
-    "rollup_orders_by_status", "events_pivot_counts",
-    "set_ops_buyers_vs_eventusers", "range_join_error_after_signup",
-    "minby_cheapest_part_per_brand", "ntile_price_quartiles",
-    "distinct_users_per_type", "asof_join_last_click",
-    "embedding_near_dup_pairs", "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume", "cube_revenue_nation_status",
-    "running_total_revenue", "moving_avg_value_1h", "order_gap_days",
-    "above_nation_avg_balance", "monthly_revenue_timeseries",
+    # (0) new this round
+    "ocr_spans_dpi_media", "ocr_spans_jpeg_color_media",
+    # (1) last driver-green in round 1
     "json_props_extract", "array_component_stats",
-    # (3) round-2 greens rotating back under the cap (the rest overflow
-    # with a green row at most one round old)
-    "spans_explode_seq", "begin_final_flags", "box_union", "roi_filter",
-    "utf8_page_text", "hocr_output", "box_text_output", "char_whitelist",
-    "lang_set_algebra",
+    # (2) last driver-green in round 2
+    "all_word_confidences", "begin_final_flags", "box_text_output",
+    "box_union", "char_whitelist", "cms_hot_users", "dedup_exact",
+    "events_sessionize", "grouping_sets_revenue", "histogram_price_bins",
+    "hll_distinct_users", "hocr_output", "html_boilerplate_strip",
+    "ivf_topk_probe_all", "join_orders_customer", "lang_id_heuristic",
+    "lang_set_algebra", "mean_word_conf", "minhash_lsh_pairs",
+    "minhash_signatures", "ngram_jaccard_band_blocked",
+    "ngram_jaccard_pairs", "percent_rank_prices",
+    "price_quantiles_by_segment", "quality_score", "roi_filter",
+    "rollup_doc_text", "simhash32", "simhash_near_dup_pairs",
+    "spans_explode_seq", "sql_tpch_q6_forecast_revenue", "token_count",
+    "topk_orders_per_customer", "tpch_pricing_rollup",
+    "tpch_q10_returned_items", "tpch_q18_large_orders", "utf8_page_text",
+    "word_flags",
+    # (3) round-3 greens whose implementation changes this round
+    "ntile_price_quartiles", "dedup_clusters",
+    # (4) fill to the 50-cap with round-3 flagship gates
+    "ocr_extract_spans", "ocr_hierarchy", "ocr_layout_only",
+    "html_main_content", "winnow_fingerprints", "pii_scrub",
 ]
 
 
