@@ -123,3 +123,87 @@ def level_confidence(hierarchy: DataFrame, level: str) -> DataFrame:
     return (words.groupBy(*keys)
             .agg(F.avg("confidence").cast("float").alias("confidence"),
                  F.count("*").cast("int").alias("n_words")))
+
+
+# ==========================================================================
+# Scalable total-order rank (the cluster-safe form of a global window)
+# ==========================================================================
+
+def global_rank(df: DataFrame, order_cols: list[str],
+                num_partitions: int | None = None) -> tuple[DataFrame, int]:
+    """Total-order 1-based rank WITHOUT a single-partition window.
+
+    ``Window.orderBy(...)`` with no partitionBy collapses the whole table
+    onto ONE task ("WindowExec: No Partition Defined") — correct at test
+    scale, a scale-killer at 100 TB. This is the classic two-pass
+    distributed sort-rank instead:
+
+      1. ``repartitionByRange`` on the order columns (one range shuffle —
+         the same exchange a global sort would need anyway) +
+         ``sortWithinPartitions``;
+      2. a streaming ``mapInPandas`` stage numbers rows WITHIN each
+         partition (zero shuffle — the Arrow batch iterator is
+         per-partition, so a running counter is exact);
+      3. per-partition row counts (k rows, map-side combined) are
+         collected once, prefix-summed on the driver in range order
+         (RangePartitioner assigns ordered key ranges to ascending
+         partition ids), and broadcast-joined back as offsets.
+
+    ``order_cols`` must define a TOTAL order (include a unique
+    tiebreaker): rank is then identical to the global window's
+    row_number, percent_rank = (rank-1)/(N-1) and cume_dist = rank/N.
+
+    Returns (df + ``rank`` bigint column, total row count N). The
+    numbered intermediate is persisted (memory-and-disk) because the
+    count pass and the output pass both consume it; at cluster scale this
+    is one narrow projected columnset, not the full table payload.
+    """
+    import numpy as np
+    from pyspark import StorageLevel
+
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (df.repartitionByRange(parts, *order_cols)
+              .sortWithinPartitions(*order_cols)
+              .withColumn("_pid", F.spark_partition_id()))
+
+    def _number(batches):
+        n = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["_lrn"] = np.arange(n + 1, n + 1 + len(pdf), dtype="int64")
+            n += len(pdf)
+            yield pdf
+
+    from pyspark.sql.types import LongType, StructField, StructType
+    schema = StructType(list(ranged.schema.fields)
+                        + [StructField("_lrn", LongType())])
+    numbered = ranged.mapInPandas(_number, schema=schema)
+    numbered.persist(StorageLevel.MEMORY_AND_DISK)
+
+    counts = {r["_pid"]: r["n"] for r in
+              numbered.groupBy("_pid").agg(F.max("_lrn").alias("n"))
+              .collect()}
+    total = int(sum(counts.values()))
+    offsets, acc = [], 0
+    for pid in sorted(counts):            # ascending pid == key-range order
+        offsets.append((pid, acc))
+        acc += int(counts[pid])
+    spark = df.sparkSession
+    off = spark.createDataFrame(offsets, "_pid int, _offset long")
+    return (numbered.join(F.broadcast(off), "_pid")
+            .withColumn("rank", (F.col("_offset") + F.col("_lrn")))
+            .drop("_pid", "_lrn", "_offset")), total
+
+
+def ntile_from_rank(rank: Column, n: int, total: int) -> Column:
+    """SQL ntile(n) from a total-order rank: the first ``total % n``
+    buckets get ``total // n + 1`` rows, the rest ``total // n``
+    (WindowFunction.scala NTile semantics) — pure arithmetic once N is
+    known, no window."""
+    q, r = divmod(total, n)
+    big = r * (q + 1)
+    first = F.floor((rank - 1) / (q + 1)) + 1
+    if q == 0:
+        return first.cast("int")
+    rest = F.floor((rank - big - 1) / q) + r + 1
+    return F.when(rank <= big, first).otherwise(rest).cast("int")

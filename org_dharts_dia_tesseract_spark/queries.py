@@ -1264,12 +1264,19 @@ def minby_cheapest_part_per_brand(spark, sf_dir):
     FROM orders
 """)
 def ntile_price_quartiles(spark, sf_dir):
-    """ntile window (global sort — single-partition window; at scale this
-    becomes a range-partitioned sort + prefix sums)."""
-    o = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return o.select("o_orderkey", "o_custkey",
-                    F.ntile(4).over(w).cast("int").alias("quartile"))
+    """ntile over a total order, WITHOUT the single-partition global
+    window: two-pass range-partitioned rank (operators/windows.py
+    global_rank — range shuffle + per-partition streaming row numbers +
+    broadcast prefix offsets), then the NTile bucket arithmetic from the
+    known total. Same output as ntile(4) OVER (ORDER BY ...), but every
+    stage stays partition-parallel at 100 TB."""
+    from .operators.windows import global_rank, ntile_from_rank
+    o = load_table(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    ranked, total = global_rank(o, ["o_totalprice", "o_orderkey"])
+    return (ranked.select("o_orderkey", "o_custkey",
+                          ntile_from_rank(F.col("rank"), 4, total)
+                          .alias("quartile")))
 
 
 @q("distinct_users_per_type", """
@@ -1612,13 +1619,19 @@ def array_component_stats(spark, sf_dir):
     FROM part
 """)
 def percent_rank_prices(spark, sf_dir):
-    """percent_rank / cume_dist global windows (rank-normalized scores —
-    the quality-score calibration primitive)."""
-    p = load_table(spark, sf_dir, "part")
-    w = Window.orderBy("p_retailprice", "p_partkey")
-    return p.select("p_partkey",
-                    F.round(F.percent_rank().over(w), 6).alias("pr"),
-                    F.round(F.cume_dist().over(w), 6).alias("cd"))
+    """percent_rank / cume_dist (rank-normalized scores — the
+    quality-score calibration primitive) WITHOUT the single-partition
+    global window: two-pass range-partitioned rank. The order key
+    (p_retailprice, p_partkey) is a total order (p_partkey unique), so
+    percent_rank = (rank-1)/(N-1) and cume_dist = rank/N exactly."""
+    from .operators.windows import global_rank
+    p = load_table(spark, sf_dir, "part").select("p_partkey",
+                                                 "p_retailprice")
+    ranked, total = global_rank(p, ["p_retailprice", "p_partkey"])
+    return ranked.select(
+        "p_partkey",
+        F.round((F.col("rank") - 1) / max(total - 1, 1), 6).alias("pr"),
+        F.round(F.col("rank") / total, 6).alias("cd"))
 
 
 @q("histogram_price_bins", """

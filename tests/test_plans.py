@@ -335,3 +335,22 @@ def test_connected_components_round_is_one_join_one_agg(spark):
     s = P.explain_str(labels)
     assert "Join" not in s
     assert "Exchange" not in s
+
+
+def test_global_rank_queries_have_no_single_partition_window(spark):
+    """ntile_price_quartiles / percent_rank_prices (the two formerly
+    'weak' plans): the global ORDER BY window is replaced by two-pass
+    range-partitioned rank, so the plan has NO WindowExec at all (a
+    no-partition window would log 'No Partition Defined' and collapse
+    onto one task) — the only table-data exchange is rangepartitioning,
+    local numbering is a MapInPandas, and the prefix offsets come back
+    as a broadcast join."""
+    from org_dharts_dia_tesseract_spark.queries import spark_queries
+    qs = spark_queries()
+    for name in ("ntile_price_quartiles", "percent_rank_prices"):
+        df = qs[name](spark, SF)
+        s = P.explain_str(df)
+        assert "Window" not in s, name
+        assert "rangepartitioning" in s, name
+        assert "MapInPandas" in s, name
+        assert "BroadcastHashJoin" in s, name
