@@ -31,8 +31,17 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") == "1"
 # scaling runs need enough work that compute dominates fixed overheads
 # (stage scheduling, Python worker spin-up) — else efficiency measures
-# the constant term, not the operator
-SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_DOCS", "20000"))
+# the constant term, not the operator: a ~3 s constant against a ~10 s
+# hi-side run alone costs ~0.15 efficiency even with a perfectly linear
+# plan, hence 2x the round-3 doc count
+SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_DOCS", "40000"))
+WARMUP_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP_DOCS", "3000"))
+# a scaling round is admitted into the reported median only if the host
+# actually granted >= this ratio of extra compute at 4x procs while the
+# round ran (min of a pre- and post-round probe). Round 3's driver run
+# measured capacity ratios 2.1-3.9 on 4 of 5 rounds — the sandbox quota,
+# not the plan — and the one >=5 round scaled at 1.005.
+CAPACITY_MIN = float(os.environ.get("SPARK_GRAFT_BENCH_CAPACITY_MIN", "3.5"))
 
 
 def _cores_of(master: str) -> int:
@@ -113,8 +122,8 @@ def _quick_capacity_ratio(lo_p: int, hi_p: int) -> float:
     for procs in (lo_p, hi_p):
         t0 = time.time()
         with mp.Pool(procs) as p:
-            p.map(_probe_work, [120] * procs)
-        thr[procs] = procs * 120 / (time.time() - t0)
+            p.map(_probe_work, [200] * procs)
+        thr[procs] = procs * 200 / (time.time() - t0)
     return round(thr[hi_p] / thr[lo_p], 3)
 
 
@@ -138,20 +147,20 @@ def _single_process_baseline(n_docs: int = 150) -> dict:
 
 def worker_main(master: str) -> None:
     """One scaling measurement in a clean JVM; prints its own JSON line.
-    Best-of-2 trials after a warm-up to damp co-tenant contention noise."""
+    Warm-up (JIT + Python worker spin-up + codec import) runs on a small
+    separate corpus so the timed run is a single full-size pass — noise
+    across runs is handled by the multi-round median, not best-of."""
     from org_dharts_dia_tesseract_spark.session import get_spark
     cores = _cores_of(master)
     spark = get_spark(master, app_name=f"dia-bench-{cores}",
                       shuffle_partitions=max(cores, 8))
-    n_docs = SCALE_DOCS
-    docs_path, media_path = _corpus_paths(spark, n_docs)
-    _run_flagship(spark, docs_path, media_path, salt=None)       # warm-up JIT
-    best, n_spans = None, 0
-    for _ in range(2):
-        elapsed, n_spans = _run_flagship(spark, docs_path, media_path, salt=None)
-        best = elapsed if best is None else min(best, elapsed)
-    print(json.dumps({"master": master, "elapsed": best,
-                      "docs_per_sec": n_docs / best, "n_spans": n_spans}))
+    warm_docs, warm_media = _corpus_paths(spark, WARMUP_DOCS)
+    docs_path, media_path = _corpus_paths(spark, SCALE_DOCS)
+    _run_flagship(spark, warm_docs, warm_media, salt=None)       # warm-up
+    elapsed, n_spans = _run_flagship(spark, docs_path, media_path, salt=None)
+    print(json.dumps({"master": master, "elapsed": elapsed,
+                      "docs_per_sec": SCALE_DOCS / elapsed,
+                      "n_spans": n_spans}))
     spark.stop()
 
 
@@ -197,24 +206,40 @@ def main() -> None:
             "SPARK_GRAFT_BENCH_MASTERS", "local[2],local[8]").split(",")
         lo, hi = sorted(masters, key=_cores_of)
         ratio = max(_cores_of(hi) / _cores_of(lo), 1.0)
-        rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "5"))
+        want = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "5"))
+        max_rounds = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_ROUNDS", "12"))
         # wall-clock budget: never let scaling rounds push total bench
         # time past the point where an external timeout could kill us
         # before the JSON line prints
         budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1500"))
         scaling["rounds"] = []
-        for rd in range(rounds):
-            if rd > 0 and time.time() - _PROC_T0 > budget_s:
-                scaling["budget_stop"] = True
-                break
-            row = {"capacity_ratio": _quick_capacity_ratio(
-                _cores_of(lo), _cores_of(hi))}
+        admitted: list[float] = []
+        measured = 0
+        rd = 0
+        # Quota-gated admission (round-3 verdict): each round is bracketed
+        # by an independent capacity probe (aggregate single-threaded-numpy
+        # throughput at lo vs hi procs, measured BEFORE the efficiency is
+        # known — admission can't peek at the outcome). A round counts
+        # toward the reported median only if min(pre, post) >= CAPACITY_MIN:
+        # when the shared host grants < ~3.5x compute at 4x procs, the
+        # ratio measures the quota ceiling, not the plan. Throttled moments
+        # cost one cheap probe (~4 s), not a full Spark round.
+        while (len(admitted) < want and rd < max_rounds
+               and (rd == 0 or time.time() - _PROC_T0 < budget_s)):
+            rd += 1
+            pre = _quick_capacity_ratio(_cores_of(lo), _cores_of(hi))
+            if pre < CAPACITY_MIN and measured > 0:
+                scaling["rounds"].append(
+                    {"capacity_pre": pre, "gated": True})
+                time.sleep(15)   # let the co-tenant burst pass
+                continue
+            row = {"capacity_pre": pre}
             # alternate the within-round run order so a time-varying host
             # quota inflates half the rounds and deflates the other half —
             # the median over rounds then cancels the drift instead of
             # riding it (round-1 ADVICE: sequential lo-then-hi runs let a
             # rising quota masquerade as scaling)
-            order = (lo, hi) if rd % 2 == 0 else (hi, lo)
+            order = (lo, hi) if measured % 2 == 0 else (hi, lo)
             row["run_order"] = list(order)
             for master in order:
                 r = subprocess.run(
@@ -228,28 +253,41 @@ def main() -> None:
                     row[master] = json.loads(lines[-1])
                 else:
                     row[master] = {"error": (r.stderr or "")[-400:]}
+            row["capacity_post"] = _quick_capacity_ratio(
+                _cores_of(lo), _cores_of(hi))
+            row["capacity"] = min(pre, row["capacity_post"])
+            measured += 1
             if all("docs_per_sec" in row[m] for m in (lo, hi)):
                 row["efficiency"] = round(
                     (row[hi]["docs_per_sec"] / row[lo]["docs_per_sec"])
                     / ratio, 3)
+                row["admitted"] = row["capacity"] >= CAPACITY_MIN
+                if row["admitted"]:
+                    admitted.append(row["efficiency"])
             scaling["rounds"].append(row)
-        effs = sorted(r["efficiency"] for r in scaling["rounds"]
-                      if "efficiency" in r)
+        effs = admitted or sorted(
+            r["efficiency"] for r in scaling["rounds"] if "efficiency" in r)
         if effs:
             import statistics
             med = round(statistics.median(effs), 3)
-            # the MEDIAN round is the reported one (no best-of selection);
+            # the MEDIAN admitted round is the reported one (admission is
+            # by pre/post capacity probe, never by the efficiency value);
             # all rounds are recorded alongside it
-            rep = min((r for r in scaling["rounds"] if "efficiency" in r),
+            rep = min((r for r in scaling["rounds"] if "efficiency" in r
+                       and (r.get("admitted") or not admitted)),
                       key=lambda r: abs(r["efficiency"] - med))
             scaling["pair"] = [lo, hi]
             scaling[lo], scaling[hi] = rep[lo], rep[hi]
             scaling["efficiency"] = med
-            scaling["efficiency_stat"] = "median"
+            scaling["efficiency_stat"] = "median(admitted)"
+            scaling["quota_limited"] = not admitted
+            scaling["capacity_min"] = CAPACITY_MIN
+            scaling["admitted_efficiencies"] = admitted
             scaling["all_round_efficiencies"] = [
                 r.get("efficiency") for r in scaling["rounds"]]
-            scaling["round_capacity_ratios"] = [
-                r.get("capacity_ratio") for r in scaling["rounds"]]
+            scaling["round_capacities"] = [
+                r.get("capacity", r.get("capacity_pre"))
+                for r in scaling["rounds"]]
 
     result = {
         "metric": "total_headline_seconds",
@@ -271,7 +309,19 @@ def main() -> None:
             _splice_md(result, keep="scaling")   # headline-only refresh
     else:
         _splice_md(result, keep="head")          # scaling-only refresh
-    print(json.dumps(result))
+    # The printed line must stay SHORT: the driver keeps only a bounded
+    # tail of stdout, and round 3's full-detail line overflowed it
+    # ("parsed": null in BENCH_r03.json). Per-round detail lives in
+    # BENCH.md; the JSON line carries the summary numbers only.
+    slim = dict(result)
+    if scaling.get("rounds") is not None:
+        slim["scaling"] = {
+            k: scaling[k] for k in
+            ("pair", "efficiency", "efficiency_stat", "quota_limited",
+             "capacity_min", "admitted_efficiencies",
+             "all_round_efficiencies", "round_capacities")
+            if k in scaling}
+    print(json.dumps(slim))
 
 
 def _splice_md(result: dict, keep: str) -> None:
@@ -339,11 +389,14 @@ def _write_bench_md(result: dict) -> None:
             f"- {hi}: {sc[hi]['docs_per_sec']:.2f} docs/sec "
             f"({sc[hi]['elapsed']:.2f} s)",
             f"- scaling efficiency (thr_4N/thr_N)/4 = **{sc['efficiency']}** "
-            f"(target >= 0.8; MEDIAN of interleaved rounds "
-            f"{sc.get('all_round_efficiencies')} with alternating run "
-            f"order, no early stop and no best-of selection; concurrent "
-            f"host-capacity ratios {sc.get('round_capacity_ratios')} — "
-            "4.0 = the host actually grants 4x compute at 4x procs)",
+            f"(target >= 0.8; median of QUOTA-ADMITTED rounds "
+            f"{sc.get('admitted_efficiencies')} — a round is admitted iff "
+            f"an independent pre+post capacity probe shows the host "
+            f"granted >= {sc.get('capacity_min')}x compute at 4x procs "
+            f"while it ran, decided before the efficiency is computed; "
+            f"all measured rounds {sc.get('all_round_efficiencies')} at "
+            f"capacities {sc.get('round_capacities')}; "
+            f"quota_limited={sc.get('quota_limited')})",
             "",
             f"{lo} vs {hi} is the measured N-vs-4N pair: this sandbox is "
             "a shared host whose CPU quota tops out near ~16-20 effective "
