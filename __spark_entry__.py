@@ -91,6 +91,24 @@ def _ocr_word_font_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return level_font_attributes(h, "TEXTLINE")
 
 
+def _ocr_dpi_font_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedded-DPI read-back (S5, ImageIOHelper.readImageData:379-407):
+    media re-encoded as TIFF with XResolution=192 embedded; the
+    hierarchy's font_pointsize must follow the EMBEDDED resolution
+    (points = px*72/192), overriding both the media-table dpi column
+    (dropped by the re-encode) and the 96 screen default. The oracle
+    parquet is computed single-process with ppi=192, so a decoder that
+    ignores the metadata hash-mismatches."""
+    from org_dharts_dia_tesseract_spark.operators import analyze_documents
+    from org_dharts_dia_tesseract_spark.operators.multimodal import \
+        reencode_media
+    from org_dharts_dia_tesseract_spark.operators.windows import \
+        level_font_attributes
+    docs, media = _interleaved_corpus(spark, sf_dir, 200)
+    h = analyze_documents(docs, reencode_media(media, "tiff", dpi=192))
+    return level_font_attributes(h, "TEXTLINE")
+
+
 def _ocr_unlv_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GetUNLVText output sink (TessAPI.java:505-512): reject '~' /
     suspect '^' codes over the recognized hierarchy."""
@@ -240,7 +258,7 @@ def _ocr_spans_lang_hin(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CORRECTNESS_r03.json) and verified by scripts/check_gate.py locally.
 _PRIORITY = [
     # (0) new this round
-    "ocr_spans_dpi_media", "ocr_spans_jpeg_color_media",
+    "ocr_dpi_font_attrs", "ocr_spans_jpeg_color_media",
     # (1) last driver-green in round 1
     "json_props_extract", "array_component_stats",
     # (2) last driver-green in round 2
@@ -279,6 +297,7 @@ _RASTER_GATES = {
     "ocr_training_corpus": _ocr_training_corpus,
     "ocr_annotated_pages": _ocr_annotated_pages,
     "ocr_word_font_attrs": _ocr_word_font_attrs,
+    "ocr_dpi_font_attrs": _ocr_dpi_font_attrs,
     "ocr_spans_bmp_media": _ocr_spans_bmp_media,
     "ocr_spans_deflate_media": _ocr_spans_deflate_media,
     "ocr_spans_png_media": _ocr_spans_png_media,

@@ -59,9 +59,10 @@ def sniff_codec(payload: bytes) -> str | None:
 # BMP (Windows BITMAPINFOHEADER, uncompressed)
 # ---------------------------------------------------------------------------
 
-def encode_bmp(img: np.ndarray) -> bytes:
+def encode_bmp(img: np.ndarray, dpi: int | None = None) -> bytes:
     """8-bit greyscale (grey palette) or 24-bit BGR, bottom-up rows,
-    4-byte row alignment — the plain Windows DIB layout."""
+    4-byte row alignment — the plain Windows DIB layout. `dpi` sets
+    biXPelsPerMeter (default 2835 ppm = the conventional 72 dpi)."""
     img = np.ascontiguousarray(img, dtype=np.uint8)
     h, w = img.shape[:2]
     bands = 1 if img.ndim == 2 else img.shape[2]
@@ -81,8 +82,9 @@ def encode_bmp(img: np.ndarray) -> bytes:
     offset = 14 + 40 + len(palette)
     header = struct.pack("<2sIHHI", b"BM", offset + len(pixel_data), 0, 0,
                          offset)
+    ppm = round(dpi / 0.0254) if dpi else 2835
     info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, 0,
-                       len(pixel_data), 2835, 2835,
+                       len(pixel_data), ppm, ppm,
                        256 if bpp == 8 else 0, 0)
     return header + info + palette + pixel_data
 
@@ -330,7 +332,8 @@ _TIFF_COMPRESSION = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}
 
 def encode_tiff(img: np.ndarray, packbits: bool = False,
                 compression: str | None = None,
-                predictor: bool = False) -> bytes:
+                predictor: bool = False,
+                dpi: int | None = None) -> bytes:
     """Single-IFD little-endian baseline TIFF, one strip per row.
 
     compression: 'none' | 'packbits' | 'lzw' (tag 5 — MSB-first
@@ -339,7 +342,11 @@ def encode_tiff(img: np.ndarray, packbits: bool = False,
     kept for callers predating the deflate path.
 
     predictor: horizontal differencing (tag 317 = 2), the standard
-    companion to LZW/DEFLATE for scanned pages."""
+    companion to LZW/DEFLATE for scanned pages.
+
+    dpi: when set, writes XResolution/YResolution (RATIONAL tags
+    282/283) + ResolutionUnit=inch (296) — the metadata
+    ImageIOHelper.readImageData:379-407 reads back on decode."""
     if compression is None:
         compression = "packbits" if packbits else "none"
     if compression not in _TIFF_COMPRESSION:
@@ -368,14 +375,16 @@ def encode_tiff(img: np.ndarray, packbits: bool = False,
     compression = _TIFF_COMPRESSION[compression]
     photometric = 1 if bands == 1 else 2
 
-    # layout: header(8) | IFD | [bits array if bands==3] | strip offsets |
-    #         strip counts | pixel data
-    n_entries = 10 if predictor else 9
+    # layout: header(8) | IFD | [bits array if bands==3] | [x/y rational
+    #         if dpi] | strip offsets | strip counts | pixel data
+    n_entries = 9 + (1 if predictor else 0) + (3 if dpi else 0)
     ifd_off = 8
     after_ifd = ifd_off + 2 + n_entries * 12 + 4
     bits_off = after_ifd
     bits_extra = 6 if bands == 3 else 0
-    so_off = bits_off + bits_extra
+    rat_off = bits_off + bits_extra
+    rat_extra = 16 if dpi else 0        # two 8-byte RATIONALs
+    so_off = rat_off + rat_extra
     sc_off = so_off + 4 * h
     data_off = sc_off + 4 * h
     offsets, pos = [], data_off
@@ -402,6 +411,10 @@ def encode_tiff(img: np.ndarray, packbits: bool = False,
         (entry(279, 4, 1, len(strips[0])) if h == 1
          else entry(279, 4, h, sc_off)),
     ]
+    if dpi:        # tags stay ascending: 282 < 283 < 296 < 317
+        entries.append(entry(282, 5, 1, rat_off))       # XResolution
+        entries.append(entry(283, 5, 1, rat_off + 8))   # YResolution
+        entries.append(entry(296, 3, 1, 2))             # unit = inch
     if predictor:
         entries.append(entry(317, 3, 1, 2))
     out = bytearray()
@@ -412,6 +425,8 @@ def encode_tiff(img: np.ndarray, packbits: bool = False,
     out += struct.pack("<I", 0)                       # next IFD
     if bands == 3:
         out += struct.pack("<HHH", 8, 8, 8)
+    if dpi:
+        out += struct.pack("<IIII", int(dpi), 1, int(dpi), 1)
     out += struct.pack(f"<{h}I", *offsets)
     out += struct.pack(f"<{h}I", *[len(s) for s in strips])
     for s in strips:
@@ -514,7 +529,8 @@ def encode_tiff_multipage(pages: list[np.ndarray],
         for j in range(n):
             e0 = ifd_off + 2 + j * 12
             tag, typ, count = struct.unpack_from("<HHI", b, e0)
-            if _TYPE_SIZE.get(typ, 1) * count > 4:   # pointer value field
+            # RATIONAL (type 5, 8 bytes) is always a pointer
+            if {**_TYPE_SIZE, 5: 8}.get(typ, 1) * count > 4:
                 ptr = struct.unpack_from("<I", b, e0 + 8)[0]
                 if tag == 273:   # strip offsets array: rebase each entry
                     for s in range(count):
@@ -565,9 +581,10 @@ def _png_chunk(typ: bytes, data: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
 
 
-def encode_png(img: np.ndarray) -> bytes:
+def encode_png(img: np.ndarray, dpi: int | None = None) -> bytes:
     """Minimal standard PNG: 8-bit grey (color type 0) or RGB (type 2),
-    filter 0 on every scanline, one zlib IDAT."""
+    filter 0 on every scanline, one zlib IDAT. `dpi` writes a pHYs
+    chunk (pixels-per-meter, unit=meter)."""
     import zlib
     img = np.ascontiguousarray(img, dtype=np.uint8)
     h, w = img.shape[:2]
@@ -576,9 +593,13 @@ def encode_png(img: np.ndarray) -> bytes:
         raise ValueError(f"PNG encoder supports 1 or 3 bands, got {bands}")
     color = 0 if bands == 1 else 2
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    phys = b""
+    if dpi:
+        ppm = round(dpi / 0.0254)
+        phys = _png_chunk(b"pHYs", struct.pack(">IIB", ppm, ppm, 1))
     rows = img.reshape(h, w * bands)
     raw = b"".join(b"\x00" + rows[y].tobytes() for y in range(h))
-    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr) + phys
             + _png_chunk(b"IDAT", zlib.compress(raw))
             + _png_chunk(b"IEND", b""))
 
@@ -928,8 +949,12 @@ def _category(v: int) -> int:
     return int(v).bit_length() if v > 0 else int(-v).bit_length()
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
-    """Baseline greyscale JFIF. Lossy (see module notes)."""
+def encode_jpeg(img: np.ndarray, quality: int = 90,
+                dpi: int | None = None) -> bytes:
+    """Baseline greyscale JFIF. Lossy (see module notes). `dpi` writes
+    the JFIF APP0 density in dots-per-inch (units=1); without it the
+    header declares aspect-ratio-only density (units=0), i.e. no
+    physical resolution."""
     img = np.ascontiguousarray(img, dtype=np.uint8)
     if img.ndim != 2:
         raise ValueError("JPEG encoder supports 1-band (greyscale) images")
@@ -978,7 +1003,9 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
         return bytes([cls << 4]) + bytes(bits) + bytes(symbols)
 
     out = bytearray(b"\xff\xd8")                               # SOI
-    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    units, dens = (1, int(dpi)) if dpi else (0, 1)
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01"
+               + struct.pack(">BHHBB", units, dens, dens, 0, 0))
     out += seg(0xFFDB, bytes([0]) + bytes(Q.reshape(-1)[_ZZ].tolist()))
     out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
     out += seg(0xFFC4, dht(0, _DC_BITS, _DC_SYMBOLS))
@@ -1164,6 +1191,91 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 from .codecs_jp2 import decode_jp2, encode_jp2  # noqa: E402
 
 from .codecs_pdf import decode_pdf, encode_pdf  # noqa: E402 — registry
+
+def _tiff_dpi(data: bytes) -> int | None:
+    endian = "<" if data[:2] == b"II" else ">"
+    ifd_off = struct.unpack_from(f"{endian}I", data, 4)[0]
+    n = struct.unpack_from(f"{endian}H", data, ifd_off)[0]
+    xres, unit = None, 2                    # spec default unit = inch
+    for i in range(n):
+        tag, typ, count = struct.unpack_from(f"{endian}HHI",
+                                             data, ifd_off + 2 + i * 12)
+        val_off = ifd_off + 2 + i * 12 + 8
+        if tag == 282 and typ == 5 and count >= 1:
+            ptr = struct.unpack_from(f"{endian}I", data, val_off)[0]
+            num, den = struct.unpack_from(f"{endian}II", data, ptr)
+            xres = num / den if den else None
+        elif tag == 296 and typ == 3:
+            unit = struct.unpack_from(f"{endian}H", data, val_off)[0]
+    if xres is None or unit == 1:           # 1 = no absolute unit
+        return None
+    return round(xres * 2.54) if unit == 3 else round(xres)
+
+
+def _png_dpi(data: bytes) -> int | None:
+    pos = 8
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        typ = data[pos + 4: pos + 8]
+        if typ == b"pHYs" and length >= 9:
+            ppm_x, _ppm_y, unit = struct.unpack_from(">IIB", data, pos + 8)
+            return round(ppm_x * 0.0254) if unit == 1 else None
+        if typ == b"IDAT":                  # pHYs must precede IDAT
+            return None
+        pos += 12 + length
+    return None
+
+
+def _jpeg_dpi(data: bytes) -> int | None:
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            return None
+        marker = data[pos + 1]
+        if marker == 0xDA:                  # SOS — no APP0 seen
+            return None
+        (length,) = struct.unpack_from(">H", data, pos + 2)
+        if marker == 0xE0 and data[pos + 4: pos + 9] == b"JFIF\x00":
+            units, xd = struct.unpack_from(">BH", data, pos + 11)
+            if units == 1 and xd:
+                return int(xd)
+            if units == 2 and xd:
+                return round(xd * 2.54)
+            return None                     # units=0: aspect ratio only
+        pos += 2 + length
+    return None
+
+
+def _bmp_dpi(data: bytes) -> int | None:
+    ppm = struct.unpack_from("<i", data, 38)[0]
+    return round(ppm * 0.0254) if ppm > 0 else None
+
+
+def read_dpi(payload: bytes) -> int | None:
+    """Embedded physical resolution of an encoded payload, or None.
+
+    The metadata read-back half of S5 (ImageIOHelper.readImageData:
+    379-407 reads DPI from image metadata with a screen-resolution
+    fallback): TIFF XResolution/ResolutionUnit, PNG pHYs, JFIF APP0
+    density, BMP biXPelsPerMeter. Header-level parse only — no pixel
+    decode. Formats without a resolution field (PNM, GIF, our JP2
+    subset, PDF) return None and fall through to the table column /
+    default chain."""
+    payload = bytes(payload)
+    codec = sniff_codec(payload[:8])
+    try:
+        if codec == "tiff":
+            return _tiff_dpi(payload)
+        if codec == "png":
+            return _png_dpi(payload)
+        if codec == "jpeg":
+            return _jpeg_dpi(payload)
+        if codec == "bmp":
+            return _bmp_dpi(payload)
+    except Exception:                       # truncated/foreign header:
+        return None                         # metadata absent, not fatal
+    return None
+
 
 DECODERS = {"bmp": decode_bmp, "pnm": decode_pnm, "tiff": decode_tiff,
             "png": decode_png, "gif": decode_gif, "jpeg": decode_jpeg,

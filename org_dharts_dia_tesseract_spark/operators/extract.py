@@ -277,14 +277,18 @@ def analyze_documents(documents: DataFrame, media: DataFrame, *,
         rows = rows.repartition(salt_partitions, "doc_id", "offset")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..oracle.page import analyze_page, decode_payload
+        from ..oracle.page import analyze_page, decode_payload, resolve_ppi
         for pdf in batches:
             frames = []
             for r in pdf.itertuples(index=False):
                 img = decode_payload(r.payload, r.width, r.height, r.bands)
+                # S5 resolution chain: embedded metadata > dpi column >
+                # screen default (ImageIOHelper.readImageData:379-407);
+                # feeds font_pointsize (points = px * 72 / ppi)
+                ppi = resolve_ppi(r.payload, getattr(r, "dpi", None))
                 res = analyze_page(img, psm=psm, recognize=recognize,
                                    whitelist=whitelist, roi=roi,
-                                   langs=langs)
+                                   langs=langs, ppi=ppi)
                 rws = res.rows()
                 if not rws:
                     continue

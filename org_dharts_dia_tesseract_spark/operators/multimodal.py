@@ -61,22 +61,33 @@ def decode(payload: bytes, width: int, height: int, bands: int,
 
 def reencode_media(media: DataFrame, codec: str,
                    packbits: bool = False,
-                   compression: str | None = None) -> DataFrame:
+                   compression: str | None = None,
+                   dpi: int | None = None) -> DataFrame:
     """Re-encode raw media payloads with a real codec —
     the inverse of decode, used as a sink format and to drive the codec
     decode path end-to-end through the OCR pipeline. mapInPandas per
     Arrow batch; width/height/bands metadata is preserved. For tiff,
-    `compression` picks 'none' | 'packbits' | 'deflate'."""
+    `compression` picks 'none' | 'packbits' | 'deflate'. `dpi` embeds
+    the physical resolution in the output metadata (TIFF XResolution,
+    PNG pHYs, JFIF density, BMP ppm) — read back on decode by the S5
+    resolution chain (oracle.page.resolve_ppi)."""
     if codec not in CODECS_REAL:
         raise ValueError(f"encodable codecs are {CODECS_REAL}, got {codec!r}")
+    if dpi and codec not in ("bmp", "tiff", "png", "jpeg"):
+        raise ValueError(f"codec {codec!r} has no resolution metadata field")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {f.name: [] for f in RESIZE_SCHEMA}
             for r in pdf.itertuples(index=False):
                 img = decode(r.payload, r.width, r.height, r.bands)
-                enc = (ENCODERS["tiff"](img, packbits, compression)
-                       if codec == "tiff" else ENCODERS[codec](img))
+                if codec == "tiff":
+                    enc = ENCODERS["tiff"](img, packbits, compression,
+                                           dpi=dpi)
+                elif dpi:
+                    enc = ENCODERS[codec](img, dpi=dpi)
+                else:
+                    enc = ENCODERS[codec](img)
                 out["media_ref"].append(r.media_ref)
                 out["width"].append(r.width)
                 out["height"].append(r.height)

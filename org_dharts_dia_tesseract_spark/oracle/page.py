@@ -187,6 +187,24 @@ def decode_payload(payload: bytes, width: int, height: int, bands: int) -> np.nd
         "and no known codec magic")
 
 
+def resolve_ppi(payload: bytes, table_dpi=None) -> int:
+    """The source-resolution chain of ImageIOHelper.readImageData:379-407:
+    DPI embedded in the image metadata wins (TIFF XResolution/
+    ResolutionUnit, PNG pHYs, JFIF APP0 density, BMP biXPelsPerMeter —
+    codecs_img.read_dpi, header parse only), else the media-table dpi
+    column, else the screen-resolution default (DEFAULT_PPI=96). Raw
+    payloads have no metadata and skip straight to the column/default."""
+    from ..codecs_img import read_dpi
+    emb = read_dpi(bytes(payload))
+    if emb and emb > 0:
+        return int(emb)
+    if table_dpi is not None and table_dpi == table_dpi:   # not NaN
+        t = int(table_dpi)
+        if t > 0:
+            return t
+    return DEFAULT_PPI
+
+
 def analyze_page(img: np.ndarray, psm: str = "AUTO", roi: Box | None = None,
                  whitelist: str | None = None, recognize: bool = True,
                  ppi: int = DEFAULT_PPI,

@@ -42,7 +42,7 @@ from org_dharts_dia_tesseract_spark.datagen import (doc_spans_for,
                                                     media_row_for)
 from org_dharts_dia_tesseract_spark.operators.boilerplate import \
     _main_content_of
-from org_dharts_dia_tesseract_spark.oracle.page import (analyze_page,
+from org_dharts_dia_tesseract_spark.oracle.page import (analyze_page, resolve_ppi,
                                                         decode_payload,
                                                         detect_page_osd,
                                                         document_spans)
@@ -78,12 +78,19 @@ class Corpus:
                               m["bands"])
 
     def page(self, ref: str, recognize: bool = True,
-             langs: tuple[str, ...] = ("eng",)):
-        """Memoized analyze_page (AUTO psm) — reused across gates."""
-        key = (ref, recognize, langs)
+             langs: tuple[str, ...] = ("eng",), ppi: int | None = None):
+        """Memoized analyze_page (AUTO psm) — reused across gates.
+        ppi=None applies the S5 resolution chain (embedded metadata >
+        media-table dpi > 96 default — oracle.page.resolve_ppi), same as
+        the distributed hierarchy stage; an explicit ppi overrides (the
+        embedded-DPI gate's expectation)."""
+        key = (ref, recognize, langs, ppi)
         if key not in self._pages:
+            m = self.media(ref)
+            use = ppi or resolve_ppi(m["payload"], m.get("dpi"))
             self._pages[key] = analyze_page(self.image(ref), psm="AUTO",
-                                            recognize=recognize, langs=langs)
+                                            recognize=recognize, langs=langs,
+                                            ppi=use)
         return self._pages[key]
 
     def image_spans(self, n_docs: int):
@@ -117,10 +124,11 @@ def _spans_table(rows: list[dict]) -> pa.Table:
     })
 
 
-def _hierarchy_rows(corpus: Corpus, n_docs: int, recognize: bool = True):
+def _hierarchy_rows(corpus: Corpus, n_docs: int, recognize: bool = True,
+                    ppi: int | None = None):
     """One dict per hierarchy node with (doc_id, media_ref, offset)."""
     for doc, s in corpus.image_spans(n_docs):
-        res = corpus.page(s["media_ref"], recognize=recognize)
+        res = corpus.page(s["media_ref"], recognize=recognize, ppi=ppi)
         for r in res.rows():
             yield {"doc_id": doc["doc_id"], "media_ref": s["media_ref"],
                    "offset": s["offset"], **r}
@@ -433,6 +441,10 @@ def main() -> None:
     write("ocr_hierarchy", _hierarchy_table(hier))
     write("ocr_layout_only", _layout_table(corpus, CAP_PIPELINE))
     write("ocr_word_font_attrs", _font_attrs_table(hier))
+    # embedded-DPI gate: TIFF re-encode with XResolution=192; pointsize
+    # must follow the embedded value (metadata > table column > default)
+    write("ocr_dpi_font_attrs", _font_attrs_table(
+        list(_hierarchy_rows(corpus, CAP_MEDIA, ppi=192))))
     write("ocr_unlv_text", _unlv_table(hier))
     write("ocr_training_corpus", _training_table(spans))
     write("ocr_annotated_pages", _annotated_table(corpus, CAP_ANNOTATED))

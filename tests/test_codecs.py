@@ -307,3 +307,62 @@ def test_merge_tiff_and_split_roundtrip(spark):
         "media_ref string, width int, height int, bands int, payload binary")
     out = M.split_tiff_pages(raw).collect()
     assert len(out) == 1 and bytes(out[0]["payload"]) == bytes([1, 2, 3, 4])
+
+
+class TestEmbeddedDpi:
+    """S5 metadata read-back: ImageIOHelper.readImageData:379-407 reads
+    DPI from image metadata with a screen-resolution fallback."""
+
+    def test_roundtrip_per_codec(self):
+        for enc, dpi, want in (
+                (lambda i: C.encode_tiff(i, dpi=192), 192, 192),
+                (lambda i: C.encode_tiff(i, compression="lzw",
+                                         predictor=True, dpi=240), 240, 240),
+                (lambda i: C.encode_png(i, dpi=300), 300, 300),
+                (lambda i: C.encode_jpeg(i, dpi=150), 150, 150),
+                (lambda i: C.encode_bmp(i, dpi=192), 192, 192),
+                # defaults: BMP conventionally declares 72; others none
+                (C.encode_tiff, None, None),
+                (C.encode_png, None, None),
+                (C.encode_jpeg, None, None),
+                (C.encode_bmp, None, 72),
+        ):
+            payload = enc(GREY)
+            assert C.read_dpi(payload) == want
+            # metadata never perturbs the raster
+            img = C.DECODERS[C.sniff_codec(payload[:8])](payload)
+            assert img.shape == GREY.shape
+
+    def test_resolution_chain(self):
+        from org_dharts_dia_tesseract_spark.oracle.page import resolve_ppi
+        embedded = C.encode_tiff(GREY, dpi=192)
+        raw = GREY.tobytes()
+        assert resolve_ppi(embedded, 300) == 192     # metadata wins
+        assert resolve_ppi(raw, 300) == 300          # table column next
+        assert resolve_ppi(raw, None) == 96          # screen default
+        assert resolve_ppi(raw, float("nan")) == 96  # NaN column = absent
+
+    def test_pointsize_follows_embedded_dpi(self):
+        """Same raster, higher declared resolution => smaller points
+        (points = px * 72 / ppi, rounded)."""
+        from org_dharts_dia_tesseract_spark.oracle.page import (analyze_page,
+                                                                resolve_ppi)
+        from org_dharts_dia_tesseract_spark.datagen import media_row_for
+        m = media_row_for("med-00000000")
+        img = decode_payload(m["payload"], m["width"], m["height"],
+                             m["bands"])
+        sizes = {}
+        for dpi in (96, 192):
+            blob = C.encode_tiff(img, dpi=dpi)
+            res = analyze_page(img, ppi=resolve_ppi(blob, None))
+            words = [r for r in res.rows()
+                     if r["level"] == "WORD" and r["font_pointsize"]]
+            assert words
+            w0 = words[0]
+            lh = [r for r in res.rows() if r["level"] == "TEXTLINE"
+                  and (r["block_id"], r["para_id"], r["line_id"])
+                  == (w0["block_id"], w0["para_id"], w0["line_id"])][0]
+            expected = int(round((lh["bottom"] - lh["top"]) * 72 / dpi))
+            assert w0["font_pointsize"] == expected
+            sizes[dpi] = words[0]["font_pointsize"]
+        assert sizes[96] > sizes[192]
