@@ -197,6 +197,25 @@ def _ocr_spans_jpeg_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_spans(docs, reencode_media(media, "jpeg"))
 
 
+def _ocr_spans_jpeg_color_media(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """End-to-end span extraction over COLOR (3-component YCbCr 4:2:0)
+    JPEG payloads: pages deterministically colorized (luma-compressed +
+    spatial chroma ramps, datagen.colorize_page), encoded with the color
+    JPEG path (MCU-interleaved 4 Y + Cb + Cr blocks, chroma box-mean
+    downsample), decoded + luma-collapsed inside the pipeline. Oracle
+    parquet is the same colorize/encode/decode chain run single-process
+    — the reference surface is ImageIO's color JPEG decode
+    (ImageIOHelper.java:270-327)."""
+    from org_dharts_dia_tesseract_spark.operators import extract_spans
+    from org_dharts_dia_tesseract_spark.operators.multimodal import (
+        colorize_media, reencode_media)
+    docs, media = _interleaved_corpus(spark, sf_dir, 200)
+    color = reencode_media(colorize_media(media), "jpeg",
+                           jpeg_subsampling="420")
+    return extract_spans(docs, color)
+
+
 def _ocr_spans_jp2_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span extraction over JPEG 2000 media payloads (codecs_jp2: real
     MQ arithmetic coder + EBCOT three-pass code-blocks + reversible 5/3
@@ -303,6 +322,7 @@ _RASTER_GATES = {
     "ocr_spans_png_media": _ocr_spans_png_media,
     "ocr_spans_gif_media": _ocr_spans_gif_media,
     "ocr_spans_jpeg_media": _ocr_spans_jpeg_media,
+    "ocr_spans_jpeg_color_media": _ocr_spans_jpeg_color_media,
     "ocr_spans_jp2_media": _ocr_spans_jp2_media,
     "ocr_spans_pdf_media": _ocr_spans_pdf_media,
     "pdf_text_extract": _pdf_text_extract,

@@ -842,19 +842,23 @@ def decode_gif(data: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# JPEG (baseline DCT, GREYSCALE only; LOSSY — the one non-exact codec)
+# JPEG (baseline DCT, greyscale + 3-component YCbCr color; LOSSY — the
+# one non-exact codec)
 # ---------------------------------------------------------------------------
 #
-# Baseline sequential JFIF with a single 8-bit component: 8x8 DCT as a
-# matrix product (einsum over all blocks), Annex-K luminance quant table
-# scaled by libjpeg's quality formula, canonical Huffman codes BUILT
-# LOCALLY and shipped in the file's own DHT segments (decoders read DHT,
-# so no dependence on the "typical" Annex-K code tables). The decoder
-# parses DQT/DHT/SOF0/DRI/SOS, handles byte stuffing and RSTn markers,
-# and rejects progressive (SOF2) and multi-component images. JPEG is
+# Baseline sequential JFIF: 8x8 DCT as a matrix product (einsum over all
+# blocks), Annex-K luminance + chrominance quant tables scaled by
+# libjpeg's quality formula, canonical Huffman codes BUILT LOCALLY and
+# shipped in the file's own DHT segments (decoders read DHT, so no
+# dependence on the "typical" Annex-K code tables). Color: JFIF YCbCr,
+# encoder emits 4:4:4 or 4:2:0 (box-mean chroma downsample), decoder
+# handles any integer sampling-factor grid (4:4:4 / 4:2:2 / 4:2:0),
+# per-component quant/Huffman table ids, DRI/RSTn, byte stuffing;
+# progressive (SOF2) and non-interleaved scans are rejected. JPEG is
 # lossy: round-trips are near-equal, not equal — but the OCR pipeline
 # binarizes with a >170-level ink/background margin, so spans over
-# JPEG-encoded media equal the raw run's (gate ocr_spans_jpeg_media).
+# JPEG-encoded media equal the raw run's (gates ocr_spans_jpeg_media /
+# ocr_spans_jpeg_color_media).
 
 _JPEG_QBASE = np.array([
     [16, 11, 10, 16, 24, 40, 51, 61],
@@ -865,6 +869,16 @@ _JPEG_QBASE = np.array([
     [24, 35, 55, 64, 81, 104, 113, 92],
     [49, 64, 78, 87, 103, 121, 120, 101],
     [72, 92, 95, 98, 112, 100, 103, 99]], dtype=np.float64)
+
+_JPEG_QBASE_CHROMA = np.array([
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99]], dtype=np.float64)
 
 
 def _jpeg_zigzag() -> np.ndarray:
@@ -890,10 +904,11 @@ def _dct_matrix() -> np.ndarray:
 _DCT = _dct_matrix()
 
 
-def _jpeg_quant_table(quality: int) -> np.ndarray:
+def _jpeg_quant_table(quality: int, base: np.ndarray | None = None
+                      ) -> np.ndarray:
     quality = min(max(int(quality), 1), 100)
     scale = 5000 // quality if quality < 50 else 200 - 2 * quality
-    q = (_JPEG_QBASE * scale + 50) // 100
+    q = ((_JPEG_QBASE if base is None else base) * scale + 50) // 100
     return np.clip(q, 1, 255).astype(np.int32)
 
 
@@ -949,69 +964,157 @@ def _category(v: int) -> int:
     return int(v).bit_length() if v > 0 else int(-v).bit_length()
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 90,
-                dpi: int | None = None) -> bytes:
-    """Baseline greyscale JFIF. Lossy (see module notes). `dpi` writes
-    the JFIF APP0 density in dots-per-inch (units=1); without it the
-    header declares aspect-ratio-only density (units=0), i.e. no
-    physical resolution."""
-    img = np.ascontiguousarray(img, dtype=np.uint8)
-    if img.ndim != 2:
-        raise ValueError("JPEG encoder supports 1-band (greyscale) images")
-    h, w = img.shape
-    Q = _jpeg_quant_table(quality)
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    padded = np.pad(img, ((0, ph - h), (0, pw - w)), mode="edge")
-    blocks = (padded.reshape(ph // 8, 8, pw // 8, 8)
-              .transpose(0, 2, 1, 3).reshape(-1, 8, 8).astype(np.float64)
-              - 128.0)
+def _block_zz(plane: np.ndarray, Q: np.ndarray) -> np.ndarray:
+    """float64 plane (dims multiples of 8) -> quantized zigzag rows."""
+    h, w = plane.shape
+    blocks = (plane.reshape(h // 8, 8, w // 8, 8)
+              .transpose(0, 2, 1, 3).reshape(-1, 8, 8) - 128.0)
     coeffs = np.einsum("ij,bjk,lk->bil", _DCT, blocks, _DCT)
     quant = np.round(coeffs / Q).astype(np.int32)
-    zz = quant.reshape(-1, 64)[:, _ZZ]
-    bw = _BitWriter()
-    pred = 0
-    for blk in zz:
-        diff = int(blk[0]) - pred
-        pred = int(blk[0])
-        s = _category(diff)
-        bw.write(*_DC_CODES[s])                # (code, length)
-        if s:
-            bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
-        k = 1
-        while k < 64:
-            run = 0
-            while k < 64 and blk[k] == 0:
-                run += 1
-                k += 1
-            if k == 64:
-                bw.write(*_AC_CODES[0x00])     # EOB
-                break
-            while run >= 16:
-                bw.write(*_AC_CODES[0xF0])     # ZRL
-                run -= 16
-            v = int(blk[k])
-            s = _category(v)
-            bw.write(*_AC_CODES[(run << 4) | s])
-            bw.write(v if v > 0 else v + (1 << s) - 1, s)
+    return quant.reshape(-1, 64)[:, _ZZ]
+
+
+def _write_block(bw: "_BitWriter", blk: np.ndarray, pred: int) -> int:
+    """Entropy-encode one zigzag block; returns the new DC predictor."""
+    diff = int(blk[0]) - pred
+    s = _category(diff)
+    bw.write(*_DC_CODES[s])                # (code, length)
+    if s:
+        bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    k = 1
+    while k < 64:
+        run = 0
+        while k < 64 and blk[k] == 0:
+            run += 1
             k += 1
-    data = bw.flush()
+        if k == 64:
+            bw.write(*_AC_CODES[0x00])     # EOB
+            break
+        while run >= 16:
+            bw.write(*_AC_CODES[0xF0])     # ZRL
+            run -= 16
+        v = int(blk[k])
+        s = _category(v)
+        bw.write(*_AC_CODES[(run << 4) | s])
+        bw.write(v if v > 0 else v + (1 << s) - 1, s)
+        k += 1
+    return int(blk[0])
+
+
+def _rgb_to_ycbcr(img: np.ndarray) -> tuple[np.ndarray, ...]:
+    r = img[..., 0].astype(np.float64)
+    g = img[..., 1].astype(np.float64)
+    b = img[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return y, cb, cr
+
+
+def _jfif_headers(h: int, w: int, comps: list[tuple], qsegs: list[bytes],
+                  dpi: int | None) -> bytearray:
+    """SOI + APP0 + DQT(s) + SOF0 + DHTs (same canonical tables under
+    ids 0 and 1 — components reference them per class/id, so a decoder
+    must honor the table-id indirection)."""
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
 
-    def dht(cls: int, bits: list[int], symbols: list[int]) -> bytes:
-        return bytes([cls << 4]) + bytes(bits) + bytes(symbols)
+    def dht(cls: int, tid: int, bits: list[int], symbols: list[int]) -> bytes:
+        return bytes([(cls << 4) | tid]) + bytes(bits) + bytes(symbols)
 
     out = bytearray(b"\xff\xd8")                               # SOI
     units, dens = (1, int(dpi)) if dpi else (0, 1)
     out += seg(0xFFE0, b"JFIF\x00\x01\x01"
                + struct.pack(">BHHBB", units, dens, dens, 0, 0))
-    out += seg(0xFFDB, bytes([0]) + bytes(Q.reshape(-1)[_ZZ].tolist()))
-    out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
-    out += seg(0xFFC4, dht(0, _DC_BITS, _DC_SYMBOLS))
-    out += seg(0xFFC4, dht(1, _AC_BITS, _AC_SYMBOLS))
-    out += seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
-    out += data
+    for q in qsegs:
+        out += seg(0xFFDB, q)
+    ncomp = len(comps)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for cid, samp, tq in comps:
+        sof += bytes([cid, samp, tq])
+    out += seg(0xFFC0, sof)
+    out += seg(0xFFC4, dht(0, 0, _DC_BITS, _DC_SYMBOLS))
+    out += seg(0xFFC4, dht(1, 0, _AC_BITS, _AC_SYMBOLS))
+    if ncomp == 3:
+        out += seg(0xFFC4, dht(0, 1, _DC_BITS, _DC_SYMBOLS))
+        out += seg(0xFFC4, dht(1, 1, _AC_BITS, _AC_SYMBOLS))
+    return out
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 90,
+                dpi: int | None = None,
+                subsampling: str = "444") -> bytes:
+    """Baseline JFIF: greyscale (1 band) or YCbCr color (3 bands,
+    `subsampling` '444' or '420' — box-mean chroma downsample). Lossy
+    (see module notes). `dpi` writes the JFIF APP0 density in
+    dots-per-inch (units=1); without it the header declares
+    aspect-ratio-only density (units=0), i.e. no physical resolution."""
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        h, w = img.shape
+        Q = _jpeg_quant_table(quality)
+        ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+        padded = np.pad(img, ((0, ph - h), (0, pw - w)),
+                        mode="edge").astype(np.float64)
+        bw = _BitWriter()
+        pred = 0
+        for blk in _block_zz(padded, Q):
+            pred = _write_block(bw, blk, pred)
+        out = _jfif_headers(
+            h, w, [(1, 0x11, 0)],
+            [bytes([0]) + bytes(Q.reshape(-1)[_ZZ].tolist())], dpi)
+        out += seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        out += bw.flush()
+        out += b"\xff\xd9"                                      # EOI
+        return bytes(out)
+
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("JPEG encoder supports 1 or 3 bands")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"JPEG subsampling must be '444' or '420', "
+                         f"got {subsampling!r}")
+    h, w = img.shape[:2]
+    mcu = 8 if subsampling == "444" else 16
+    ph, pw = -(-h // mcu) * mcu, -(-w // mcu) * mcu
+    y, cb, cr = _rgb_to_ycbcr(img)
+    y, cb, cr = (np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+                 for p in (y, cb, cr))
+    if subsampling == "420":
+        cb = cb.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        cr = cr.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+    Qy = _jpeg_quant_table(quality)
+    Qc = _jpeg_quant_table(quality, _JPEG_QBASE_CHROMA)
+    zz_y = _block_zz(y, Qy)
+    zz_cb = _block_zz(cb, Qc)
+    zz_cr = _block_zz(cr, Qc)
+    ybw = pw // 8                       # Y blocks per row
+    cbw = pw // 8 if subsampling == "444" else pw // 16
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    for my in range(ph // mcu):
+        for mx in range(pw // mcu):
+            if subsampling == "444":
+                yblocks = [my * ybw + mx]
+            else:                       # 2x2 Y blocks, raster order
+                yblocks = [(2 * my + by) * ybw + 2 * mx + bx
+                           for by in (0, 1) for bx in (0, 1)]
+            for bi in yblocks:
+                preds[0] = _write_block(bw, zz_y[bi], preds[0])
+            ci = my * cbw + mx
+            preds[1] = _write_block(bw, zz_cb[ci], preds[1])
+            preds[2] = _write_block(bw, zz_cr[ci], preds[2])
+    samp_y = 0x11 if subsampling == "444" else 0x22
+    out = _jfif_headers(
+        h, w, [(1, samp_y, 0), (2, 0x11, 1), (3, 0x11, 1)],
+        [bytes([0]) + bytes(Qy.reshape(-1)[_ZZ].tolist()),
+         bytes([1]) + bytes(Qc.reshape(-1)[_ZZ].tolist())], dpi)
+    out += seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    out += bw.flush()
     out += b"\xff\xd9"                                          # EOI
     return bytes(out)
 
@@ -1076,19 +1179,56 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+def _read_block(br: "_BitReader", dc_tab: dict, ac_tab: dict,
+                pred: int) -> tuple[np.ndarray, int]:
+    """Entropy-decode one block into zigzag order; returns (row, pred)."""
+    s = br.huff(dc_tab)
+    pred += _extend(br.bits(s), s) if s else 0
+    row = np.zeros(64, dtype=np.int32)
+    row[0] = pred
+    k = 1
+    while k < 64:
+        sym = br.huff(ac_tab)
+        if sym == 0x00:                    # EOB
+            break
+        if sym == 0xF0:                    # ZRL
+            k += 16
+            continue
+        k += sym >> 4
+        size = sym & 15
+        if k > 63:
+            raise ValueError("JPEG: AC index out of range")
+        row[k] = _extend(br.bits(size), size)
+        k += 1
+    return row, pred
+
+
+def _idct_plane(zz: np.ndarray, Q: np.ndarray, bh: int,
+                bw_: int) -> np.ndarray:
+    blocks = np.zeros((bh * bw_, 64), dtype=np.int32)
+    blocks[:, _ZZ] = zz
+    coeffs = blocks.reshape(-1, 8, 8) * Q
+    pix = np.einsum("ji,bjk,kl->bil", _DCT, coeffs.astype(np.float64), _DCT)
+    pix = np.clip(np.round(pix + 128.0), 0, 255).astype(np.uint8)
+    return (pix.reshape(bh, bw_, 8, 8).transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw_ * 8))
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline sequential greyscale JPEG (DHT-driven Huffman, DRI/RSTn
-    supported; progressive and color rejected)."""
+    """Baseline sequential JPEG (DHT-driven Huffman, DRI/RSTn, byte
+    stuffing): greyscale or 3-component YCbCr with any integer sampling
+    grid (4:4:4 / 4:2:2 / 4:2:0). Progressive (SOF2) and non-interleaved
+    multi-scan files are rejected."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
     htabs: dict[tuple, dict[tuple, int]] = {}
     h = w = None
-    comp_q = 0
+    comps: list[tuple[int, int, int, int]] = []   # (cid, hs, vs, tq)
+    stabs: dict[int, tuple[int, int]] = {}        # cid -> (Td, Ta)
     restart = 0
     scan = None
-    dc_id = ac_id = 0
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("JPEG: marker expected")
@@ -1127,11 +1267,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 i += 17 + n
         elif marker == 0xC0:                   # SOF0 baseline
             _prec, h, w, ncomp = struct.unpack_from(">BHHB", payload, 0)
-            if ncomp != 1:
+            if ncomp not in (1, 3):
                 raise NotImplementedError(
-                    "JPEG: only single-component (greyscale) supported")
-            # payload: prec(1) h(2) w(2) ncomp(1) [id(1) samp(1) Tq(1)]
-            comp_q = payload[8]
+                    f"JPEG: {ncomp}-component images unsupported")
+            for c in range(ncomp):
+                cid, samp, tq = payload[6 + 3 * c: 9 + 3 * c]
+                comps.append((cid, samp >> 4, samp & 15, tq))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -1139,50 +1280,66 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xDD:                   # DRI
             (restart,) = struct.unpack_from(">H", payload, 0)
         elif marker == 0xDA:                   # SOS: entropy data follows
-            dc_id, ac_id = payload[2] >> 4, payload[2] & 15
+            ns = payload[0]
+            if ns != len(comps):
+                raise NotImplementedError(
+                    "JPEG: non-interleaved scans unsupported")
+            for c in range(ns):
+                cid, tt = payload[1 + 2 * c: 3 + 2 * c]
+                stabs[cid] = (tt >> 4, tt & 15)
             scan = data[pos:]
             break
     if scan is None or h is None:
         raise ValueError("JPEG: missing SOS/SOF")
-    dc_tab, ac_tab = htabs[(0, dc_id)], htabs[(1, ac_id)]
-    Q = qtabs[comp_q]
-    bh, bw_ = -(-h // 8), -(-w // 8)
-    zz = np.zeros((bh * bw_, 64), dtype=np.int32)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if any(hmax % c[1] or vmax % c[2] for c in comps):
+        raise NotImplementedError("JPEG: non-integer sampling ratios")
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    zzs = {cid: np.zeros((mcus_y * vs * mcus_x * hs, 64), dtype=np.int32)
+           for cid, hs, vs, _tq in comps}
     br = _BitReader(scan)
-    pred = 0
-    for b in range(bh * bw_):
-        if restart and b and b % restart == 0:
-            br.align()
-            m = br.at_marker()
-            if m is not None and 0xD0 <= m <= 0xD7:
-                br.pos += 2                    # consume RSTn
-                br.acc = br.n = 0
-            pred = 0
-        s = br.huff(dc_tab)
-        pred += _extend(br.bits(s), s) if s else 0
-        zz[b, 0] = pred
-        k = 1
-        while k < 64:
-            sym = br.huff(ac_tab)
-            if sym == 0x00:                    # EOB
-                break
-            if sym == 0xF0:                    # ZRL
-                k += 16
-                continue
-            k += sym >> 4
-            size = sym & 15
-            if k > 63:
-                raise ValueError("JPEG: AC index out of range")
-            zz[b, k] = _extend(br.bits(size), size)
-            k += 1
-    blocks = np.zeros((bh * bw_, 64), dtype=np.int32)
-    blocks[:, _ZZ] = zz
-    coeffs = blocks.reshape(-1, 8, 8) * Q
-    pix = np.einsum("ji,bjk,kl->bil", _DCT, coeffs.astype(np.float64), _DCT)
-    pix = np.clip(np.round(pix + 128.0), 0, 255).astype(np.uint8)
-    img = (pix.reshape(bh, bw_, 8, 8).transpose(0, 2, 1, 3)
-           .reshape(bh * 8, bw_ * 8))
-    return np.ascontiguousarray(img[:h, :w])
+    preds = {cid: 0 for cid, *_ in comps}
+    n_mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart and n_mcu and n_mcu % restart == 0:
+                br.align()
+                m = br.at_marker()
+                if m is not None and 0xD0 <= m <= 0xD7:
+                    br.pos += 2                # consume RSTn
+                    br.acc = br.n = 0
+                preds = {cid: 0 for cid in preds}
+            n_mcu += 1
+            for cid, hs, vs, _tq in comps:
+                td, ta = stabs[cid]
+                dc_tab, ac_tab = htabs[(0, td)], htabs[(1, ta)]
+                bw_c = mcus_x * hs
+                for by in range(vs):
+                    for bx in range(hs):
+                        idx = (my * vs + by) * bw_c + mx * hs + bx
+                        zzs[cid][idx], preds[cid] = _read_block(
+                            br, dc_tab, ac_tab, preds[cid])
+    planes = {}
+    for cid, hs, vs, tq in comps:
+        plane = _idct_plane(zzs[cid], qtabs[tq], mcus_y * vs, mcus_x * hs)
+        ch = -(-h * vs // vmax)                # component dims before
+        cw = -(-w * hs // hmax)                # upsampling, then replicate
+        plane = plane[:ch, :cw]
+        plane = np.repeat(np.repeat(plane, vmax // vs, axis=0),
+                          hmax // hs, axis=1)[:h, :w]
+        planes[cid] = plane
+    if len(comps) == 1:
+        return np.ascontiguousarray(planes[comps[0][0]])
+    y = planes[comps[0][0]].astype(np.float64)
+    cb = planes[comps[1][0]].astype(np.float64) - 128.0
+    cr = planes[comps[2][0]].astype(np.float64) - 128.0
+    rgb = np.stack([y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb], axis=2)
+    return np.ascontiguousarray(
+        np.clip(np.round(rgb), 0, 255).astype(np.uint8))
 
 
 # JPEG 2000 lives in its own module (MQ coder + EBCOT + 5/3 DWT are

@@ -340,3 +340,26 @@ def fixture_specs() -> dict[str, PageSpec]:
 
 def fixture_page(name: str) -> np.ndarray:
     return render_page(fixture_specs()[name], noise_key="fixture:" + name)
+
+
+def colorize_page(img: np.ndarray) -> np.ndarray:
+    """Deterministic synthetic colorization: grey (H,W) -> RGB (H,W,3).
+
+    Drives the color decode paths (3-component YCbCr JPEG) with real
+    chroma content: luma is compressed into [26, 230] and chroma ramps
+    spatially (Cb left->right, Cr top->bottom, +-14), chosen so no RGB
+    channel clips — the transform is exactly invertible to its luma, and
+    the ink/background margin (~204 levels) stays far above JPEG loss.
+    """
+    if img.ndim != 2:
+        raise ValueError("colorize_page expects a grey (H, W) page")
+    h, w = img.shape
+    y = 26.0 + img.astype(np.float64) * 0.8
+    cb = (np.arange(w, dtype=np.float64) * 28.0 / max(w - 1, 1)
+          - 14.0)[None, :] + np.zeros((h, 1))
+    cr = (np.arange(h, dtype=np.float64) * 28.0 / max(h - 1, 1)
+          - 14.0)[:, None] + np.zeros((1, w))
+    rgb = np.stack([y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

@@ -59,10 +59,34 @@ def decode(payload: bytes, width: int, height: int, bands: int,
     raise ValueError(f"unsupported media codec {codec!r}")
 
 
+def colorize_media(media: DataFrame) -> DataFrame:
+    """Deterministic synthetic colorization of grey pages (datagen.
+    colorize_page): raw 1-band payloads become raw 3-band RGB rows with
+    real chroma content — the input surface for the color codec paths
+    (e.g. the 4:2:0 color-JPEG gate). mapInPandas per Arrow batch."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..datagen import colorize_page
+        for pdf in batches:
+            out = {f.name: [] for f in RESIZE_SCHEMA}
+            for r in pdf.itertuples(index=False):
+                img = decode(r.payload, r.width, r.height, r.bands)
+                rgb = colorize_page(img)
+                out["media_ref"].append(r.media_ref)
+                out["width"].append(r.width)
+                out["height"].append(r.height)
+                out["bands"].append(3)
+                out["payload"].append(rgb.tobytes())
+            yield pd.DataFrame(out)
+
+    return media.select("media_ref", "width", "height", "bands",
+                        "payload").mapInPandas(run, RESIZE_SCHEMA)
+
+
 def reencode_media(media: DataFrame, codec: str,
                    packbits: bool = False,
                    compression: str | None = None,
-                   dpi: int | None = None) -> DataFrame:
+                   dpi: int | None = None,
+                   jpeg_subsampling: str = "444") -> DataFrame:
     """Re-encode raw media payloads with a real codec —
     the inverse of decode, used as a sink format and to drive the codec
     decode path end-to-end through the OCR pipeline. mapInPandas per
@@ -84,6 +108,9 @@ def reencode_media(media: DataFrame, codec: str,
                 if codec == "tiff":
                     enc = ENCODERS["tiff"](img, packbits, compression,
                                            dpi=dpi)
+                elif codec == "jpeg":
+                    enc = ENCODERS["jpeg"](img, dpi=dpi,
+                                           subsampling=jpeg_subsampling)
                 elif dpi:
                     enc = ENCODERS[codec](img, dpi=dpi)
                 else:

@@ -124,6 +124,30 @@ def _spans_table(rows: list[dict]) -> pa.Table:
     })
 
 
+def _color_jpeg_span_rows(corpus: Corpus, n_docs: int) -> list[dict]:
+    """Spans over colorized + 4:2:0 color-JPEG media: the single-process
+    twin of extract_spans(docs, reencode_media(colorize_media(media),
+    'jpeg', jpeg_subsampling='420')) — same colorize/encode/decode
+    kernels assembled with plain Python."""
+    from org_dharts_dia_tesseract_spark.codecs_img import encode_jpeg
+    from org_dharts_dia_tesseract_spark.datagen import colorize_page
+    cache: dict[str, dict] = {}
+
+    def lookup(ref: str) -> dict:
+        if ref not in cache:
+            m = corpus.media(ref)
+            img = decode_payload(m["payload"], m["width"], m["height"],
+                                 m["bands"])
+            blob = encode_jpeg(colorize_page(img), subsampling="420")
+            cache[ref] = {**m, "bands": 3, "payload": blob}
+        return cache[ref]
+
+    rows = []
+    for doc in corpus.docs[:n_docs]:
+        rows.extend(document_spans(doc, lookup))
+    return rows
+
+
 def _hierarchy_rows(corpus: Corpus, n_docs: int, recognize: bool = True,
                     ppi: int | None = None):
     """One dict per hierarchy node with (doc_id, media_ref, offset)."""
@@ -432,6 +456,8 @@ def main() -> None:
     write("ocr_spans_png_media", _spans_table(spans_200))
     write("ocr_spans_gif_media", _spans_table(spans_200))
     write("ocr_spans_jpeg_media", _spans_table(spans_200))
+    write("ocr_spans_jpeg_color_media",
+          _spans_table(_color_jpeg_span_rows(corpus, CAP_MEDIA)))
     write("ocr_spans_jp2_media", _spans_table(spans_200))
     write("ocr_spans_pdf_media", _spans_table(spans_200))
     write("pdf_text_extract", _pdf_text_table(corpus, CAP_MEDIA))

@@ -366,3 +366,51 @@ class TestEmbeddedDpi:
             assert w0["font_pointsize"] == expected
             sizes[dpi] = words[0]["font_pointsize"]
         assert sizes[96] > sizes[192]
+
+
+class TestColorJpeg:
+    """3-component YCbCr JPEG (ImageIOHelper's color decode surface)."""
+
+    def test_roundtrip_near_equal(self):
+        for ss in ("444", "420"):
+            dec = C.decode_jpeg(C.encode_jpeg(RGB, subsampling=ss))
+            assert dec.shape == RGB.shape and dec.dtype == np.uint8
+
+    def test_text_page_color_roundtrip_binarizes_identically(self):
+        from org_dharts_dia_tesseract_spark.datagen import (colorize_page,
+                                                            media_row_for)
+        from org_dharts_dia_tesseract_spark.oracle.binarize import \
+            otsu_binarize
+        m = media_row_for("med-00000042")
+        img = decode_payload(m["payload"], m["width"], m["height"],
+                             m["bands"])
+        rgb = colorize_page(img)
+        for ss in ("444", "420"):
+            dec = C.decode_jpeg(C.encode_jpeg(rgb, subsampling=ss))
+            assert dec.shape == rgb.shape
+            assert (otsu_binarize(dec) == otsu_binarize(img)).all(), ss
+
+    def test_odd_dims_and_mcu_padding(self):
+        for shape in ((17, 23, 3), (8, 8, 3), (1, 33, 3), (31, 1, 3)):
+            img = np.random.default_rng(sum(shape)).integers(
+                0, 256, shape, dtype=np.uint8)
+            for ss in ("444", "420"):
+                dec = C.decode_jpeg(C.encode_jpeg(img, subsampling=ss))
+                assert dec.shape == shape, (shape, ss)
+
+    def test_bad_subsampling_rejected(self):
+        with pytest.raises(ValueError, match="subsampling"):
+            C.encode_jpeg(RGB, subsampling="422")
+        with pytest.raises(ValueError, match="1 or 3 bands"):
+            C.encode_jpeg(np.zeros((4, 4, 2), np.uint8))
+
+
+def test_pipeline_over_color_jpeg_media(spark):
+    """Spans from colorized 4:2:0 color-JPEG payloads == raw spans."""
+    docs, media = corpus_tables(spark, 8)
+    raw = extract_spans(docs, media).orderBy("doc_id", "seq").collect()
+    color = M.reencode_media(M.colorize_media(media), "jpeg",
+                             jpeg_subsampling="420")
+    enc = extract_spans(docs, color).orderBy("doc_id", "seq").collect()
+    assert [tuple(r) for r in raw] == [tuple(r) for r in enc]
+    assert len(raw) > 0
