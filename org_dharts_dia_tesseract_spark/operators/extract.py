@@ -125,16 +125,53 @@ def _joined_images(documents: DataFrame, media: DataFrame,
     return img.join(m, "media_ref")
 
 
+def _page_deadline(timeout_ms: int | None):
+    """Context manager: a soft per-page time budget via SIGALRM — the
+    analog of the reference's per-page timeout (TessAPI.java:464-481
+    recognizeWithTimeout takes timeout_millisec). Fires TimeoutError
+    inside the page's decode/analyze, which the on_error policy turns
+    into a dead-letter span, so one pathological page cannot stall a
+    task until the Spark task reaper. Soft: a single long-running numpy
+    kernel is only interrupted when Python regains control; signals are
+    per-process-main-thread, so outside one (exotic worker setups) the
+    budget degrades to no-op rather than crashing."""
+    import contextlib
+    import signal
+
+    @contextlib.contextmanager
+    def cm():
+        if not timeout_ms:
+            yield
+            return
+        def on_alarm(signum, frame):
+            raise TimeoutError(
+                f"page exceeded time budget of {timeout_ms} ms")
+        try:
+            old = signal.signal(signal.SIGALRM, on_alarm)
+        except ValueError:            # not the main thread: no budget
+            yield
+            return
+        signal.setitimer(signal.ITIMER_REAL, timeout_ms / 1000.0)
+        try:
+            yield
+        finally:
+            signal.setitimer(signal.ITIMER_REAL, 0)
+            signal.signal(signal.SIGALRM, old)
+    return cm
+
+
 def _ocr_stage(rows: DataFrame, psm: str, salt_partitions: int | None,
                on_error: str = "fail",
-               langs: tuple[str, ...] = ("eng",)) -> DataFrame:
+               langs: tuple[str, ...] = ("eng",),
+               page_timeout_ms: int | None = None) -> DataFrame:
     """Image-span rows (with payload) -> block-level sub-spans.
 
     on_error: 'fail' raises (strict, the reference's TesseractException
     behavior); 'dead-letter' emits one in-band span (kind='error',
     text=<reason>) for an undecodable/unanalyzable page so one corrupt
     blob cannot kill a 10^12-doc job and the failure stays visible,
-    countable, and deterministic — no side channel."""
+    countable, and deterministic — no side channel. page_timeout_ms is
+    the per-page budget (see _page_deadline)."""
     if on_error not in ("fail", "dead-letter"):
         raise ValueError(f"on_error must be 'fail' or 'dead-letter', "
                          f"got {on_error!r}")
@@ -144,13 +181,15 @@ def _ocr_stage(rows: DataFrame, psm: str, salt_partitions: int | None,
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..oracle.page import analyze_page, decode_payload
         from ..oracle.segment import TEXT_KINDS
+        deadline = _page_deadline(page_timeout_ms)
         for pdf in batches:
             out: dict[str, list] = {f.name: [] for f in SPAN_SCHEMA}
             for r in pdf.itertuples(index=False):
                 try:
-                    img = decode_payload(r.payload, r.width, r.height,
-                                         r.bands)
-                    res = analyze_page(img, psm=psm, langs=langs)
+                    with deadline():
+                        img = decode_payload(r.payload, r.width, r.height,
+                                             r.bands)
+                        res = analyze_page(img, psm=psm, langs=langs)
                 except Exception as e:   # noqa: BLE001 — policy boundary
                     if on_error == "fail":
                         raise
@@ -195,14 +234,17 @@ def extract_spans(documents: DataFrame, media: DataFrame, *,
                   broadcast_media: bool = False,
                   salt_partitions: int | None = None,
                   on_error: str = "fail",
-                  languages: str = "eng") -> DataFrame:
+                  languages: str = "eng",
+                  page_timeout_ms: int | None = None) -> DataFrame:
     """Flagship query: (documents, media) -> ordered span table
     (doc_id, seq, kind, text, media_ref) — the invariant's exact shape
     (FIXTURES.md section 4 / BASELINE.json input_hint). on_error:
     'fail' | 'dead-letter' (see _ocr_stage). `languages` is the init
     spec '[~]lang[+[~]lang]*' (TesseractHandle.init:399-459): the
     resolved pack load order feeds recognition templates, so the spec
-    changes recognized text, not just config state."""
+    changes recognized text, not just config state. page_timeout_ms is
+    the per-page soft budget (TessAPI.java:464-481 timeout_millisec
+    analog) — pair with on_error='dead-letter'."""
     from ..functions.config import resolve_languages
     langs = resolve_languages(languages)
     text_spans = (_exploded(documents)
@@ -211,7 +253,7 @@ def extract_spans(documents: DataFrame, media: DataFrame, *,
                           "kind", "text", "media_ref"))
     ocr_spans = _ocr_stage(
         _joined_images(documents, media, broadcast_media),
-        psm, salt_partitions, on_error, langs)
+        psm, salt_partitions, on_error, langs, page_timeout_ms)
     all_spans = text_spans.unionByName(ocr_spans)
     w = Window.partitionBy("doc_id").orderBy("offset", "sub")
     return (all_spans

@@ -56,7 +56,8 @@ def run_checkpointed(spark: SparkSession, documents: DataFrame,
                      fail_buckets: set[int] | None = None,
                      audit: bool = True,
                      on_error: str = "dead-letter",
-                     concurrency: int = 4) -> dict:
+                     concurrency: int = 4,
+                     page_timeout_ms: int | None = None) -> dict:
     """Run span extraction bucket-by-bucket with manifests; skips buckets
     already DONE (resume). `fail_buckets` injects failures for tests.
     `audit` records dangling media_refs (image spans whose media row is
@@ -64,6 +65,10 @@ def run_checkpointed(spark: SparkSession, documents: DataFrame,
     `on_error` defaults to 'dead-letter': a corrupt page becomes an
     in-band kind='error' span (counted per bucket in the manifest)
     instead of permanently failing its bucket on every resume.
+    `page_timeout_ms` bounds each page's decode+analyze (soft SIGALRM
+    deadline, the TessAPI.java:464-481 timeout_millisec analog); an
+    over-budget page dead-letters as a kind='error' span counted in the
+    bucket manifest instead of stalling the task.
     `concurrency` (default 4) submits that many bucket jobs at once
     (Spark's scheduler interleaves them) — a sequential driver loop
     leaves the cluster idle between jobs once bucket counts grow;
@@ -106,7 +111,8 @@ def run_checkpointed(spark: SparkSession, documents: DataFrame,
                 raise RuntimeError(f"injected failure in bucket {b}")
             part = docs_b.where(F.col("bucket") == b).drop("bucket")
             n_docs = int(bucket_docs.get(b, 0))
-            out = extract_spans(part, media, on_error=on_error)
+            out = extract_spans(part, media, on_error=on_error,
+                                page_timeout_ms=page_timeout_ms)
             out_path = os.path.join(root, "data", f"bucket={b}")
             out.write.mode("overwrite").parquet(out_path)
             written = spark.read.parquet(out_path)

@@ -435,6 +435,42 @@ def test_corrupt_payload_error_policy(spark, corpus_small, tmp_path):
     assert sum(m["n_error_spans"] for m in ms) == 1
 
 
+def test_page_timeout_dead_letters_and_resumes(spark, corpus_small,
+                                               tmp_path):
+    """Per-page time budget (TessAPI.java:464-481 timeout_millisec
+    analog): a budget far below per-page cost dead-letters slow pages as
+    in-band TimeoutError spans (counted in manifests, buckets still
+    DONE); a later pass without the budget reprocesses nothing (DONE is
+    DONE) but a fresh root without it produces a fully clean run."""
+    from org_dharts_dia_tesseract_spark.operators import extract_spans
+    from org_dharts_dia_tesseract_spark.sources import checkpoint as C
+    docs_df, media_df = corpus_small
+
+    # direct operator: 1ms budget forces at least one page over budget
+    out = extract_spans(docs_df, media_df, on_error="dead-letter",
+                        page_timeout_ms=1).cache()
+    errs = out.where(F.col("kind") == "error").collect()
+    assert errs, "1ms budget should dead-letter at least one page"
+    assert all("time budget" in (e["text"] or "") for e in errs)
+    out.unpersist()
+
+    # checkpointed runner: budget recorded as error spans, buckets DONE
+    root = str(tmp_path / "ckpt_timeout")
+    s1 = C.run_checkpointed(spark, docs_df, media_df, root, n_buckets=2,
+                            audit=False, page_timeout_ms=1)
+    assert s1["failed"] == []
+    assert sum(m["n_error_spans"] for m in C.metrics(root)) >= 1
+
+    # a fresh unbudgeted run over the same corpus is clean + complete
+    root2 = str(tmp_path / "ckpt_clean")
+    C.run_checkpointed(spark, docs_df, media_df, root2, n_buckets=2,
+                       audit=False)
+    clean = C.read_output(spark, root2)
+    assert clean.where(F.col("kind") == "error").count() == 0
+    direct_n = extract_spans(docs_df, media_df).count()
+    assert clean.count() == direct_n
+
+
 def test_binary_file_media_source(spark, corpus_small, tmp_path):
     """Loose-file media via the binaryFile data source must feed the
     pipeline identically to the parquet media table (S1 file-scan
