@@ -68,8 +68,18 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", n_hashes: int = 8,
-                           bands: int = 4) -> DataFrame:
-    """Candidate near-dup pairs: docs sharing any LSH band."""
+                           bands: int = 4,
+                           max_bucket: int | None = None) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band.
+
+    `max_bucket` is the production guard for 10^12-doc runs (the
+    RefinedWeb recipe): a band bucket of B members yields ~B^2/2 pairs,
+    so one degenerate key (boilerplate-heavy shingles, dirty band width)
+    can quadratic-blow a single task. Buckets larger than max_bucket are
+    dropped before the self-join — their members are boilerplate-like
+    and are better handled by the exact line-dedup pass anyway. The
+    bucket-size count is one extra map-side-combinable agg on the same
+    key the self-join shuffles on."""
     rows_per_band = n_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, n_hashes)
     # ONE explode over the signature agg (a union of per-band selects
@@ -81,6 +91,12 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
         for b in range(bands)]
     all_bands = sig.select(
         F.col(id_col), F.explode(F.array(*band_keys)).alias("band_key"))
+    if max_bucket:
+        keep = (all_bands.groupBy("band_key")
+                .agg(F.count("*").alias("__n"))
+                .where(F.col("__n") <= max_bucket)
+                .select("band_key"))
+        all_bands = all_bands.join(keep, "band_key")
     a, b = all_bands.alias("a"), all_bands.alias("b")
     return (a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
@@ -253,6 +269,7 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     labels = (e.select(F.col("s").alias("id")).distinct()
               .select("id", F.col("id").alias("comp"))
               .localCheckpoint(eager=True))
+    changed = 0
     for _ in range(max_iter):
         msgs = (e.join(labels, e["s"] == labels["id"])
                 .select(F.col("d").alias("id"), "comp"))
@@ -267,4 +284,12 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
         if changed == 0:
             break
     e.unpersist()
+    if changed:
+        # silently-wrong labels would surface as a baffling parity
+        # mismatch against the exact-closure oracle; fail typed instead
+        # (for genuinely deep graphs, switch to the large-star/small-star
+        # contraction cited above rather than raising max_iter)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(graph diameter exceeds max_iter)")
     return labels.select("id", F.col("comp").alias("cluster_id"))

@@ -729,3 +729,29 @@ def test_ivf_indexed_matches_in_memory(spark, tmp_path):
     from org_dharts_dia_tesseract_spark import plans as P
     df1 = S.ivf_topk_indexed(spark, path, qs, k=5, nprobe=1)
     assert "PartitionFilters" in P.explain_str(df1)
+
+
+def test_connected_components_non_convergence_raises(spark):
+    """Exhausting max_iter with labels still moving must fail typed, not
+    return silently-wrong clusters (a chain of length 7 needs more than
+    one hash-min round)."""
+    chain = spark.createDataFrame([(i, i + 1) for i in range(6)],
+                                  ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(chain, max_iter=1)
+    ok = D.connected_components(chain).collect()
+    assert {r["cluster_id"] for r in ok} == {0}
+
+
+def test_minhash_bucket_cap_drops_degenerate_buckets(spark):
+    """max_bucket: a 6-member identical-text bucket would emit 15 pairs;
+    capped at 3 it is dropped entirely while small buckets survive."""
+    rows = ([(f"d{i}", "the same boilerplate words repeated here")
+             for i in range(6)]
+            + [("x1", "totally unique first document text body"),
+               ("x2", "totally unique first document text body")])
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = D.minhash_lsh_candidates(df).count()
+    got = D.minhash_lsh_candidates(df, max_bucket=3).collect()
+    assert {(r["id_a"], r["id_b"]) for r in got} == {("x1", "x2")}
+    assert uncapped > len(got)

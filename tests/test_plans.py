@@ -329,7 +329,7 @@ def test_connected_components_round_is_one_join_one_agg(spark):
         connected_components
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3)], ["id_a", "id_b"])
-    labels = connected_components(pairs, max_iter=1)
+    labels = connected_components(pairs, max_iter=5)
     # after the loop the result reads from the checkpoint, not the
     # original join tree: the plan must be flat (scan-shaped, no join)
     s = P.explain_str(labels)
