@@ -164,7 +164,17 @@ def decode_payload(payload: bytes, width: int, height: int, bands: int) -> np.nd
             img = DECODERS[codec](bytes(payload))
         except Exception as ex:
             if raw_len:
-                img = None            # magic was a pixel coincidence
+                # magic was a pixel coincidence — but a corrupt encoded
+                # stream whose length happens to equal w*h*bands lands
+                # here too, so the fallback is ANNOTATED: a garbage
+                # "page" decodes to garbage spans silently otherwise
+                import warnings
+                warnings.warn(
+                    f"payload sniffed as {codec} but failed to decode "
+                    f"({type(ex).__name__}); length matches raw "
+                    f"{width}x{height}x{bands} — treating as raw pixels",
+                    RuntimeWarning, stacklevel=2)
+                img = None
             else:
                 raise ValueError(f"{codec} payload failed to decode "
                                  f"({ex}) and length {len(payload)} != "
