@@ -62,6 +62,10 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--output", required=True,
                     help="checkpointed output root (data/ + manifests/)")
     ap.add_argument("--buckets", type=int, default=16)
+    ap.add_argument("--page-timeout-ms", type=int, default=None,
+                    help="soft per-page decode+analyze budget; over-budget "
+                         "pages dead-letter as kind='error' spans "
+                         "(TessAPI timeout_millisec analog)")
     args = ap.parse_args(argv)
 
     spark = build_session()
@@ -78,7 +82,8 @@ def main(argv: list[str]) -> int:
         media = spark.read.parquet(args.media)
 
     summary = run_checkpointed(spark, documents, media, args.output,
-                               n_buckets=args.buckets)
+                               n_buckets=args.buckets,
+                               page_timeout_ms=args.page_timeout_ms)
     ms = metrics(args.output)
     out = {
         "processed": summary["processed"],
