@@ -247,8 +247,13 @@ def test_jpeg_restart_markers_and_rejections():
                           decode_jpeg(encode_jpeg(img, 90)))
     with pytest.raises(ValueError):
         decode_jpeg(b"not a jpeg")
-    with pytest.raises(ValueError, match="greyscale"):
-        encode_jpeg(_rand_img((8, 8, 3)))
+    # color (3-band) encode is real since round 4 — decode round-trips
+    # within the lossy margin instead of raising the old "greyscale"
+    # rejection (tests/test_codecs.py pins the full color surface)
+    color = _rand_img((8, 8, 3))
+    err = np.abs(decode_jpeg(encode_jpeg(color, 90)).astype(int)
+                 - color.astype(int))
+    assert err.max() < 80
     # progressive (SOF2) rejected
     prog = bytearray(encode_jpeg(img))
     sof = prog.find(b"\xff\xc0")
