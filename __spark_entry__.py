@@ -243,6 +243,56 @@ def _ocr_spans_pdf_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_spans(docs, reencode_media(media, "pdf"))
 
 
+def _ocr_spans_jpeg_prog_media(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Span extraction over PROGRESSIVE (SOF2) color 4:2:0 JPEG
+    payloads: spectral-selection + successive-approximation scans,
+    EOBn runs, non-interleaved AC block order (T.81 Annex G) — the
+    dominant JPEG flavor in a real web corpus; ImageIO's stock reader
+    handles it (ImageIOHelper.java:270-327). Progressive encodes the
+    SAME quantized coefficients as baseline, so decode is
+    pixel-identical and the oracle parquet is the color-JPEG
+    expectation re-pinned under this gate's name."""
+    from org_dharts_dia_tesseract_spark.operators import extract_spans
+    from org_dharts_dia_tesseract_spark.operators.multimodal import (
+        colorize_media, reencode_media)
+    docs, media = _interleaved_corpus(spark, sf_dir, 200)
+    color = reencode_media(colorize_media(media), "jpeg",
+                           jpeg_subsampling="420", jpeg_progressive=True)
+    return extract_spans(docs, color)
+
+
+def _ocr_spans_png_palette_media(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Span extraction over PALETTE + Adam7-INTERLACED PNG payloads
+    (indexed color through PLTE, 7-pass de-interlace; grey palettes
+    collapse back to 1-band). Lossless, so spans are byte-identical to
+    the raw run's — the oracle parquet pins that."""
+    from org_dharts_dia_tesseract_spark.operators import extract_spans
+    from org_dharts_dia_tesseract_spark.operators.multimodal import \
+        reencode_media
+    docs, media = _interleaved_corpus(spark, sf_dir, 200)
+    return extract_spans(docs, reencode_media(media, "png",
+                                              png_palette=True,
+                                              png_interlace=True))
+
+
+def _ocr_spans_tiff_bilevel_media(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Span extraction over BILEVEL (1-bit) PackBits TIFF payloads —
+    the classic fax/scanned-document encoding. Threshold-128
+    binarization changes pixel values, so the oracle parquet is the
+    single-process twin of the same encode/decode chain
+    (scripts/gen_expected.py:_bilevel_span_rows), not the raw run."""
+    from org_dharts_dia_tesseract_spark.operators import extract_spans
+    from org_dharts_dia_tesseract_spark.operators.multimodal import \
+        reencode_media
+    docs, media = _interleaved_corpus(spark, sf_dir, 200)
+    return extract_spans(docs, reencode_media(media, "tiff",
+                                              compression="packbits",
+                                              tiff_bits=1))
+
+
 def _pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF text-layer parse: render each document's text spans as a
     Tj-stream PDF (sink), then parse the shown strings back out
@@ -278,6 +328,8 @@ def _ocr_spans_lang_hin(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PRIORITY = [
     # (0) new this round
     "ocr_dpi_font_attrs", "ocr_spans_jpeg_color_media",
+    "ocr_spans_jpeg_prog_media", "ocr_spans_png_palette_media",
+    "ocr_spans_tiff_bilevel_media",
     # (1) last driver-green in round 1
     "json_props_extract", "array_component_stats",
     # (2) last driver-green in round 2
@@ -297,7 +349,9 @@ _PRIORITY = [
     "word_flags",
     # (3) round-3 greens whose implementation changes this round
     "ntile_price_quartiles", "dedup_clusters",
-    # (4) fill to the 50-cap with round-3 flagship gates
+    # (4) fill to the 50-cap with round-3 flagship gates (the tail past
+    # position 50 — html_main_content/winnow_fingerprints/pii_scrub —
+    # stays r3-green and locally gate-checked, <= 1 round stale)
     "ocr_extract_spans", "ocr_hierarchy", "ocr_layout_only",
     "html_main_content", "winnow_fingerprints", "pii_scrub",
 ]
@@ -323,6 +377,9 @@ _RASTER_GATES = {
     "ocr_spans_gif_media": _ocr_spans_gif_media,
     "ocr_spans_jpeg_media": _ocr_spans_jpeg_media,
     "ocr_spans_jpeg_color_media": _ocr_spans_jpeg_color_media,
+    "ocr_spans_jpeg_prog_media": _ocr_spans_jpeg_prog_media,
+    "ocr_spans_png_palette_media": _ocr_spans_png_palette_media,
+    "ocr_spans_tiff_bilevel_media": _ocr_spans_tiff_bilevel_media,
     "ocr_spans_jp2_media": _ocr_spans_jp2_media,
     "ocr_spans_pdf_media": _ocr_spans_pdf_media,
     "pdf_text_extract": _pdf_text_extract,

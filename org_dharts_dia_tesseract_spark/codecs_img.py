@@ -123,18 +123,25 @@ def decode_bmp(data: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# PNM (P2/P3 ASCII, P5/P6 binary; maxval <= 255)
+# PNM (P2/P3 ASCII, P5/P6 binary; maxval <= 65535 — wide samples are
+# big-endian two-byte and scale to 8-bit on decode)
 # ---------------------------------------------------------------------------
 
-def encode_pnm(img: np.ndarray) -> bytes:
+def encode_pnm(img: np.ndarray, maxval: int = 255) -> bytes:
     img = np.ascontiguousarray(img, dtype=np.uint8)
     bands = 1 if img.ndim == 2 else img.shape[2]
     h, w = img.shape[:2]
-    if bands == 1:
-        return b"P5\n%d %d\n255\n" % (w, h) + img.tobytes()
-    if bands == 3:
-        return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
-    raise ValueError(f"PNM supports 1 or 3 bands, got {bands}")
+    if bands not in (1, 3):
+        raise ValueError(f"PNM supports 1 or 3 bands, got {bands}")
+    magic = b"P5" if bands == 1 else b"P6"
+    if maxval == 255:
+        body = img.tobytes()
+    elif maxval == 65535:       # v*257: exact 8-bit round-trip
+        body = (img.astype(">u2") * 257).tobytes()
+    else:
+        raise ValueError(f"PNM encoder maxval must be 255 or 65535, "
+                         f"got {maxval}")
+    return magic + b"\n%d %d\n%d\n" % (w, h, maxval) + body
 
 
 def _pnm_tokens(data: bytes, n: int, start: int) -> tuple[list[int], int]:
@@ -162,8 +169,8 @@ def decode_pnm(data: bytes) -> np.ndarray:
     if magic not in (b"P2", b"P3", b"P5", b"P6"):
         raise ValueError("not a PNM payload")
     (w, h, maxval), i = _pnm_tokens(data, 3, 2)
-    if maxval > 255:
-        raise NotImplementedError("PNM maxval > 255 unsupported")
+    if maxval > 65535 or maxval < 1:
+        raise ValueError(f"PNM maxval {maxval} out of range")
     bands = 3 if magic in (b"P3", b"P6") else 1
     n = w * h * bands
     if magic in (b"P5", b"P6"):
@@ -175,10 +182,16 @@ def decode_pnm(data: bytes) -> np.ndarray:
         off = i + 1
         if data[i:i + 1] == b"\r" and data[off:off + 1] == b"\n":
             off += 1
-        px = np.frombuffer(data, dtype=np.uint8, count=n, offset=off)
+        if maxval > 255:              # two-byte big-endian samples
+            wide = np.frombuffer(data, dtype=">u2", count=n, offset=off)
+            px = (wide.astype(np.int64) * 255 // maxval).astype(np.uint8)
+        else:
+            px = np.frombuffer(data, dtype=np.uint8, count=n, offset=off)
     else:
         vals, _ = _pnm_tokens(data, n, i)
-        px = np.asarray(vals, dtype=np.uint8)
+        px = (np.asarray(vals, dtype=np.int64) * 255 // maxval
+              ).astype(np.uint8) if maxval > 255 else np.asarray(
+            vals, dtype=np.uint8)
     return px.reshape((h, w) if bands == 1 else (h, w, bands))
 
 
@@ -333,7 +346,8 @@ _TIFF_COMPRESSION = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}
 def encode_tiff(img: np.ndarray, packbits: bool = False,
                 compression: str | None = None,
                 predictor: bool = False,
-                dpi: int | None = None) -> bytes:
+                dpi: int | None = None,
+                bits: int = 8) -> bytes:
     """Single-IFD little-endian baseline TIFF, one strip per row.
 
     compression: 'none' | 'packbits' | 'lzw' (tag 5 — MSB-first
@@ -346,7 +360,11 @@ def encode_tiff(img: np.ndarray, packbits: bool = False,
 
     dpi: when set, writes XResolution/YResolution (RATIONAL tags
     282/283) + ResolutionUnit=inch (296) — the metadata
-    ImageIOHelper.readImageData:379-407 reads back on decode."""
+    ImageIOHelper.readImageData:379-407 reads back on decode.
+
+    bits: bits per sample for 1-band images — 1 (bilevel, threshold at
+    128, the scanned-document staple), 4 (16 grey levels), 8, or 16
+    (written v*257 so 8-bit payloads round-trip exactly)."""
     if compression is None:
         compression = "packbits" if packbits else "none"
     if compression not in _TIFF_COMPRESSION:
@@ -358,11 +376,28 @@ def encode_tiff(img: np.ndarray, packbits: bool = False,
     img = np.ascontiguousarray(img, dtype=np.uint8)
     h, w = img.shape[:2]
     bands = 1 if img.ndim == 2 else img.shape[2]
+    if bits != 8:
+        if bands != 1:
+            raise ValueError("TIFF bits != 8 is 1-band only")
+        if bits not in (1, 4, 16):
+            raise ValueError("TIFF bits must be 1/4/8/16")
+        if predictor:
+            raise ValueError("TIFF predictor requires 8-bit samples")
     if predictor:       # per-sample diff vs previous pixel, same band
         diff = img.astype(np.int16)
         diff[:, 1:] -= img[:, :-1].astype(np.int16)
         img = (diff % 256).astype(np.uint8)
-    rows = img.reshape(h, w * bands)
+    if bits == 1:
+        rows = np.packbits(img >= 128, axis=1)
+    elif bits == 4:
+        idx = np.minimum((img.astype(np.int32) + 8) // 17, 15)
+        if w % 2:
+            idx = np.pad(idx, ((0, 0), (0, 1)))
+        rows = ((idx[:, 0::2] << 4) | idx[:, 1::2]).astype(np.uint8)
+    elif bits == 16:
+        rows = np.repeat(img, 2, axis=1)    # little-endian v*257
+    else:
+        rows = img.reshape(h, w * bands)
     if compression == "packbits":
         strips = [packbits_encode(rows[y]) for y in range(h)]
     elif compression == "lzw":
@@ -400,7 +435,8 @@ def encode_tiff(img: np.ndarray, packbits: bool = False,
     entries = [
         entry(256, 4, 1, w),
         entry(257, 4, 1, h),
-        (entry(258, 3, 3, bits_off) if bands == 3 else entry(258, 3, 1, 8)),
+        (entry(258, 3, 3, bits_off) if bands == 3
+         else entry(258, 3, 1, bits)),
         entry(259, 3, 1, compression),
         entry(262, 3, 1, photometric),
         # count*size <= 4 => the value field holds the value ITSELF, not a
@@ -469,8 +505,14 @@ def _decode_tiff_ifd(data: bytes, endian: str, ifd_off: int) -> np.ndarray:
     bands = tags.get("samples", [1])[0]
     compression = tags.get("compression", [1])[0]
     rows_per_strip = tags.get("rows_per_strip", [h])[0]
-    if any(b != 8 for b in tags.get("bits", [8])):
-        raise NotImplementedError("TIFF bits-per-sample != 8 unsupported")
+    bits_v = tags.get("bits", [8])
+    bps = bits_v[0]
+    if any(b != bps for b in bits_v):
+        raise NotImplementedError("TIFF mixed bits-per-sample unsupported")
+    if bps not in (1, 4, 8, 16) or (bands > 1 and bps != 8):
+        raise NotImplementedError(
+            f"TIFF bits-per-sample {bps} x {bands} bands unsupported "
+            "(1/4/8/16 single-band, 8-bit multi-band)")
     if compression not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(
             f"TIFF compression {compression} unsupported "
@@ -479,7 +521,9 @@ def _decode_tiff_ifd(data: bytes, endian: str, ifd_off: int) -> np.ndarray:
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor} unsupported "
                                   "(none/horizontal only)")
-    row_bytes = w * bands
+    if predictor == 2 and bps != 8:
+        raise NotImplementedError("TIFF predictor needs 8-bit samples")
+    row_bytes = -(-w * bps * bands // 8)    # rows pad to byte boundaries
     chunks = []
     for si, (off, cnt) in enumerate(zip(tags["strip_offsets"],
                                         tags["strip_counts"])):
@@ -495,7 +539,21 @@ def _decode_tiff_ifd(data: bytes, endian: str, ifd_off: int) -> np.ndarray:
         chunks.append(np.frombuffer(raw, dtype=np.uint8,
                                     count=n_rows * row_bytes))
     px = np.concatenate(chunks)
-    img = px.reshape((h, w) if bands == 1 else (h, w, bands))
+    if bps == 1:
+        rows = px.reshape(h, row_bytes)
+        img = (np.unpackbits(rows, axis=1)[:, :w] * 255).astype(np.uint8)
+    elif bps == 4:
+        rows = px.reshape(h, row_bytes)
+        nib = np.empty((h, row_bytes * 2), dtype=np.uint8)
+        nib[:, 0::2] = rows >> 4
+        nib[:, 1::2] = rows & 15
+        img = (nib[:, :w] * 17).astype(np.uint8)
+    elif bps == 16:                         # keep the high byte
+        pairs = px.reshape(h, w, 2)
+        img = np.ascontiguousarray(
+            pairs[:, :, 1] if endian == "<" else pairs[:, :, 0])
+    else:
+        img = px.reshape((h, w) if bands == 1 else (h, w, bands))
     if predictor == 2:      # undo horizontal differencing (per row/band)
         img = (np.cumsum(img, axis=1, dtype=np.int64) % 256).astype(np.uint8)
     if tags.get("photometric", [1])[0] == 0:          # WhiteIsZero
@@ -581,79 +639,129 @@ def _png_chunk(typ: bytes, data: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
 
 
-def encode_png(img: np.ndarray, dpi: int | None = None) -> bytes:
-    """Minimal standard PNG: 8-bit grey (color type 0) or RGB (type 2),
-    filter 0 on every scanline, one zlib IDAT. `dpi` writes a pHYs
-    chunk (pixels-per-meter, unit=meter)."""
+# Adam7 interlace passes: (x0, y0, dx, dy)
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _png_pack_rows(samples: np.ndarray, depth: int) -> np.ndarray:
+    """(h, w*channels) sample values -> (h, stride) scanline bytes at
+    the given bit depth (16-bit writes v*257, i.e. both bytes = v, so
+    8-bit payloads round-trip exactly)."""
+    h = samples.shape[0]
+    if depth == 8:
+        return samples.astype(np.uint8)
+    if depth == 16:
+        return np.repeat(samples.astype(np.uint8), 2, axis=1)
+    n = samples.shape[1]
+    bits = ((samples[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1)
+    return np.packbits(bits.reshape(h, n * depth).astype(np.uint8), axis=1)
+
+
+def encode_png(img: np.ndarray, dpi: int | None = None, depth: int = 8,
+               palette: bool = False, interlace: bool = False,
+               alpha: np.ndarray | None = None) -> bytes:
+    """Standard PNG, filter 0 on every scanline, one zlib IDAT.
+    Surfaces beyond the 8-bit grey/RGB default: `depth` 1/2/4 (grey or
+    palette; values are quantized to the depth's levels), 16 (grey/RGB,
+    written v*257); `palette` indexes exact colors through a PLTE (the
+    image must use <= 2^depth distinct colors); `alpha` adds an alpha
+    channel (color type 4/6, 8-bit only); `interlace` emits Adam7.
+    `dpi` writes a pHYs chunk (pixels-per-meter, unit=meter)."""
     import zlib
     img = np.ascontiguousarray(img, dtype=np.uint8)
     h, w = img.shape[:2]
     bands = 1 if img.ndim == 2 else img.shape[2]
     if bands not in (1, 3):
         raise ValueError(f"PNG encoder supports 1 or 3 bands, got {bands}")
-    color = 0 if bands == 1 else 2
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    plte = b""
+    if palette:
+        if depth not in (1, 2, 4, 8):
+            raise ValueError("PNG palette depth must be 1/2/4/8")
+        flat = img.reshape(h * w, bands)
+        colors, inv = np.unique(flat, axis=0, return_inverse=True)
+        if len(colors) > (1 << depth):
+            raise ValueError(f"PNG palette: {len(colors)} distinct colors "
+                             f"exceed depth {depth}")
+        rgb = colors if bands == 3 else np.repeat(colors, 3, axis=1)
+        plte = _png_chunk(b"PLTE", rgb.astype(np.uint8).tobytes())
+        samples = inv.reshape(h, w)
+        color, channels = 3, 1
+    elif alpha is not None:
+        if depth != 8:
+            raise ValueError("PNG alpha encode is 8-bit only")
+        a = np.ascontiguousarray(alpha, dtype=np.uint8).reshape(h, w, 1)
+        full = np.concatenate([img.reshape(h, w, bands), a], axis=2)
+        samples = full.reshape(h, w * (bands + 1))
+        color, channels = (4, 2) if bands == 1 else (6, 4)
+    else:
+        if bands == 1:
+            if depth not in (1, 2, 4, 8, 16):
+                raise ValueError("PNG grey depth must be 1/2/4/8/16")
+            if depth < 8:                     # quantize to depth levels
+                step = 255 // ((1 << depth) - 1)
+                samples = ((img.astype(np.int32) + step // 2) // step
+                           ).clip(0, (1 << depth) - 1).reshape(h, w)
+            else:
+                samples = img.reshape(h, w)
+            color, channels = 0, 1
+        else:
+            if depth not in (8, 16):
+                raise ValueError("PNG RGB depth must be 8/16")
+            samples = img.reshape(h, w * 3)
+            color, channels = 2, 3
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0,
+                       1 if interlace else 0)
     phys = b""
     if dpi:
         ppm = round(dpi / 0.0254)
         phys = _png_chunk(b"pHYs", struct.pack(">IIB", ppm, ppm, 1))
-    rows = img.reshape(h, w * bands)
-    raw = b"".join(b"\x00" + rows[y].tobytes() for y in range(h))
-    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr) + phys
-            + _png_chunk(b"IDAT", zlib.compress(raw))
+    samples = samples.reshape(h, w, channels)
+    raw = bytearray()
+    if interlace:
+        for x0, y0, dx, dy in _ADAM7:
+            sub = samples[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            rows = _png_pack_rows(
+                sub.reshape(sub.shape[0], sub.shape[1] * channels), depth)
+            for y in range(rows.shape[0]):
+                raw += b"\x00" + rows[y].tobytes()
+    else:
+        rows = _png_pack_rows(samples.reshape(h, w * channels), depth)
+        for y in range(h):
+            raw += b"\x00" + rows[y].tobytes()
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr) + phys + plte
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
             + _png_chunk(b"IEND", b""))
 
 
-def decode_png(data: bytes) -> np.ndarray:
-    """Non-interlaced 8-bit grey/RGB PNG with full filter support:
-    None/Up are vectorized, Sub is a per-channel prefix sum (mod-256
-    cumsum), Average/Paeth fall back to a per-pixel row loop (foreign
-    writers only — our encoder emits filter 0)."""
-    import zlib
-    if data[:8] != _PNG_SIG:
-        raise ValueError("not a PNG payload")
-    pos, ihdr, idat = 8, None, []
-    while pos + 8 <= len(data):
-        (length,) = struct.unpack_from(">I", data, pos)
-        typ = data[pos + 4: pos + 8]
-        chunk = data[pos + 8: pos + 8 + length]
-        pos += 12 + length
-        if typ == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", chunk)
-        elif typ == b"IDAT":
-            idat.append(chunk)
-        elif typ == b"IEND":
-            break
-    if ihdr is None:
-        raise ValueError("PNG missing IHDR")
-    w, h, depth, color, _comp, _filt, interlace = ihdr
-    if depth != 8 or color not in (0, 2) or interlace != 0:
-        raise NotImplementedError(
-            f"PNG depth={depth} color={color} interlace={interlace} "
-            "unsupported (8-bit grey/RGB, non-interlaced only)")
-    bands = 1 if color == 0 else 3
-    stride = w * bands
-    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    if raw.size != h * (stride + 1):
-        raise ValueError("PNG scanline data size mismatch")
-    raw = raw.reshape(h, stride + 1)
+def _png_unfilter(raw: np.ndarray, stride: int, bpp: int) -> np.ndarray:
+    """(h, stride+1) filtered scanline bytes -> (h, stride) recon bytes.
+    None/Up are vectorized, Sub is a prefix sum over bpp-strided lanes,
+    Average/Paeth fall back to a per-byte row loop (foreign writers
+    only — our encoder emits filter 0). `bpp` is the filter delta in
+    whole bytes (1 for sub-byte depths, per the PNG spec)."""
+    h = raw.shape[0]
     filters, rows = raw[:, 0], raw[:, 1:].astype(np.int32)
     out = np.empty((h, stride), dtype=np.int32)
     prev = np.zeros(stride, dtype=np.int32)
+    lanes = stride // bpp
     for y in range(h):
         f, row = int(filters[y]), rows[y]
         if f == 0:                                        # None
             rec = row
         elif f == 1:                                      # Sub
-            rec = (np.cumsum(row.reshape(w, bands), axis=0) & 255).reshape(stride)
+            rec = (np.cumsum(row[:lanes * bpp].reshape(lanes, bpp),
+                             axis=0) & 255).reshape(lanes * bpp)
         elif f == 2:                                      # Up
             rec = (row + prev) & 255
         elif f in (3, 4):                                 # Average / Paeth
             rec = np.empty(stride, dtype=np.int32)
             for x in range(stride):
-                a = rec[x - bands] if x >= bands else 0   # left
+                a = rec[x - bpp] if x >= bpp else 0       # left
                 b = prev[x]                               # up
-                c = prev[x - bands] if x >= bands else 0  # up-left
+                c = prev[x - bpp] if x >= bpp else 0      # up-left
                 if f == 3:
                     pred = (a + b) >> 1
                 else:
@@ -665,8 +773,122 @@ def decode_png(data: bytes) -> np.ndarray:
         else:
             raise ValueError(f"PNG filter {f} invalid")
         out[y] = prev = rec
-    img = out.astype(np.uint8)
-    return img.reshape((h, w) if bands == 1 else (h, w, bands))
+    return out.astype(np.uint8)
+
+
+def _png_samples(recon: np.ndarray, w: int, depth: int,
+                 channels: int) -> np.ndarray:
+    """(h, stride) recon bytes -> (h, w, channels) 8-bit-range samples
+    (16-bit keeps the high byte; sub-byte grey scales to 0..255 later,
+    palette indices pass through untouched)."""
+    h = recon.shape[0]
+    if depth == 8:
+        return recon[:, :w * channels].reshape(h, w, channels
+                                               ).astype(np.int32)
+    if depth == 16:
+        return recon[:, :w * channels * 2:2].reshape(h, w, channels
+                                                     ).astype(np.int32)
+    bits = np.unpackbits(recon, axis=1)
+    if depth == 1:
+        vals = bits
+    else:
+        n = bits.shape[1] // depth
+        weights = 1 << np.arange(depth - 1, -1, -1)
+        vals = (bits[:, :n * depth].reshape(h, n, depth)
+                * weights).sum(axis=2)
+    return vals[:, :w].reshape(h, w, 1).astype(np.int32)
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG decode across the standard surface: color types 0 (grey,
+    depth 1/2/4/8/16), 2 (RGB, 8/16), 3 (palette + optional tRNS,
+    1/2/4/8), 4 (grey+alpha, 8/16) and 6 (RGBA, 8/16); interlace none
+    or Adam7; all five scanline filters. 16-bit samples keep the high
+    byte; alpha (channel or palette tRNS) is composited over white —
+    the downstream binarizer treats transparency as page background.
+    Palette images decode to RGB; all-grey palettes collapse to 1-band
+    (the media bands contract treats grey-palette pages as greyscale)."""
+    import zlib
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat, plte, trns = 8, None, [], None, None
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        typ = data[pos + 4: pos + 8]
+        chunk = data[pos + 8: pos + 8 + length]
+        pos += 12 + length
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", chunk)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(chunk, dtype=np.uint8).reshape(-1, 3)
+        elif typ == b"tRNS":
+            trns = np.frombuffer(chunk, dtype=np.uint8)
+        elif typ == b"IDAT":
+            idat.append(chunk)
+        elif typ == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    allowed = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+               4: (8, 16), 6: (8, 16)}
+    if color not in allowed or depth not in allowed[color]:
+        raise NotImplementedError(
+            f"PNG depth={depth} color={color} unsupported")
+    if color == 3 and plte is None:
+        raise ValueError("PNG palette image missing PLTE")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    bpp = max(1, channels * depth // 8)
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+
+    def one_image(raw: np.ndarray, iw: int, ih: int) -> np.ndarray:
+        stride = -(-iw * channels * depth // 8)
+        if raw.size != ih * (stride + 1):
+            raise ValueError("PNG scanline data size mismatch")
+        recon = _png_unfilter(raw.reshape(ih, stride + 1), stride, bpp)
+        return _png_samples(recon, iw, depth, channels)
+
+    if interlace == 0:
+        samples = one_image(raw, w, h)
+    elif interlace == 1:                                  # Adam7
+        samples = np.zeros((h, w, channels), dtype=np.int32)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw_ = -(-(w - x0) // dx) if w > x0 else 0
+            ph_ = -(-(h - y0) // dy) if h > y0 else 0
+            if pw_ == 0 or ph_ == 0:
+                continue
+            stride = -(-pw_ * channels * depth // 8)
+            n = ph_ * (stride + 1)
+            samples[y0::dy, x0::dx] = one_image(raw[off:off + n], pw_, ph_)
+            off += n
+    else:
+        raise NotImplementedError(f"PNG interlace {interlace} unsupported")
+
+    if color == 3:                                        # palette -> RGB
+        idx = samples[:, :, 0]
+        if idx.max() >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        rgb = plte[idx].astype(np.int32)
+        if trns is not None:                              # palette alpha
+            a = np.full(len(plte), 255, dtype=np.int32)
+            a[:len(trns)] = trns
+            av = a[idx][:, :, None]
+            rgb = (rgb * av + 255 * (255 - av) + 127) // 255
+        rgb = rgb.astype(np.uint8)
+        if (np.array_equal(rgb[:, :, 0], rgb[:, :, 1])
+                and np.array_equal(rgb[:, :, 0], rgb[:, :, 2])):
+            return np.ascontiguousarray(rgb[:, :, 0])     # grey palette
+        return np.ascontiguousarray(rgb)
+    if color == 0 and depth < 8:                          # scale to 0..255
+        samples = samples * (255 // ((1 << depth) - 1))
+    if color in (4, 6):                                   # composite white
+        av = samples[:, :, -1:]
+        samples = (samples[:, :, :-1] * av + 255 * (255 - av) + 127) // 255
+        channels -= 1
+    img = samples.astype(np.uint8)
+    return np.ascontiguousarray(
+        img.reshape((h, w) if channels == 1 else (h, w, channels)))
 
 
 # ---------------------------------------------------------------------------
@@ -760,12 +982,40 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
 
 
 def encode_gif(img: np.ndarray) -> bytes:
-    """GIF89a with a 256-entry greyscale global palette (pixel index ==
-    grey level) and real LZW image data. Greyscale (h, w) input only —
-    arbitrary RGB exceeds GIF's 256-color palette model."""
+    """GIF89a with a 256-entry global palette and real LZW image data.
+    Greyscale (h, w) input uses the identity grey ramp (pixel index ==
+    grey level); RGB (h, w, 3) input is exact-palette indexed and must
+    use <= 256 distinct colors — GIF has no truecolor model, and lossy
+    quantization would break the pipeline's determinism contract."""
     img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 3:
+        if img.shape[2] != 3:
+            raise ValueError(f"GIF encoder supports 1 or 3 bands, got "
+                             f"{img.shape[2]}")
+        h, w = img.shape[:2]
+        colors, inv = np.unique(img.reshape(h * w, 3), axis=0,
+                                return_inverse=True)
+        if len(colors) > 256:
+            raise ValueError(f"GIF palette: {len(colors)} distinct "
+                             "colors exceed 256")
+        pal = np.zeros((256, 3), dtype=np.uint8)
+        pal[:len(colors)] = colors
+        palette = pal.tobytes()
+        lzw = _lzw_encode(inv.astype(np.uint8).ravel(), 8)
+        out = bytearray()
+        out += b"GIF89a"
+        out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+        out += palette
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out += bytes([8])
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i: i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00\x3b"
+        return bytes(out)
     if img.ndim != 2:
-        raise ValueError("GIF encoder supports 1-band (greyscale) images")
+        raise ValueError("GIF encoder supports 1-band (greyscale) or "
+                         "3-band (<=256-color) images")
     h, w = img.shape
     palette = bytes(b for v in range(256) for b in (v, v, v))
     lzw = _lzw_encode(img.ravel(), 8)
@@ -1001,6 +1251,208 @@ def _write_block(bw: "_BitWriter", blk: np.ndarray, pred: int) -> int:
     return int(blk[0])
 
 
+# Progressive AC scans need EOBn symbols (r<15, s=0) that the Annex-K
+# baseline tables don't define, so progressive scans use one flat
+# canonical table: all 176 legal AC symbols (r 0..15 x s 0..10) at 9
+# bits (BITS[9]=176 fits the one-byte DHT count; canonical code of the
+# i-th symbol is simply i, and the all-ones code stays unused).
+_PROG_AC_SYMBOLS = [(r << 4) | s for r in range(16) for s in range(11)]
+_PROG_AC_BITS = [0] * 8 + [176] + [0] * 7
+_PROG_AC_CODES = {sym: (i, 9) for i, sym in enumerate(_PROG_AC_SYMBOLS)}
+
+
+def _emit_eobrun(bw: "_BitWriter", eobrun: int,
+                 bebits: list[int]) -> tuple[int, list]:
+    """Flush a pending EOBn symbol plus the correction bits buffered
+    while the run was open (T.81 G.1.2.3 encoder side)."""
+    if eobrun > 0:
+        r = eobrun.bit_length() - 1
+        bw.write(*_PROG_AC_CODES[r << 4])
+        if r:
+            bw.write(eobrun - (1 << r), r)
+        for b in bebits:
+            bw.write(b, 1)
+    return 0, []
+
+
+def _emit_dc_first_block(bw: "_BitWriter", blk: np.ndarray, pred: int,
+                         Al: int) -> int:
+    """DC first scan: Huffman-coded difference of the point-transformed
+    (arithmetic >> Al) DC coefficient."""
+    v = int(blk[0]) >> Al
+    diff = v - pred
+    s = _category(diff)
+    bw.write(*_DC_CODES[s])
+    if s:
+        bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    return v
+
+
+def _emit_ac_first_block(bw: "_BitWriter", blk: np.ndarray, Ss: int,
+                         Se: int, Al: int, eobrun: int) -> int:
+    """AC first scan for the band: ZRL/EOBn run-length coding of the
+    point-transformed (truncate-toward-zero) coefficients."""
+    vals = []
+    for k in range(Ss, Se + 1):
+        v = int(blk[k])
+        vals.append(v >> Al if v >= 0 else -((-v) >> Al))
+    if not any(vals):
+        eobrun += 1
+        if eobrun == 0x7FFF:
+            eobrun, _ = _emit_eobrun(bw, eobrun, [])
+        return eobrun
+    eobrun, _ = _emit_eobrun(bw, eobrun, [])
+    r = 0
+    for v in vals:
+        if v == 0:
+            r += 1
+            continue
+        while r > 15:
+            bw.write(*_PROG_AC_CODES[0xF0])
+            r -= 16
+        s = _category(v)
+        bw.write(*_PROG_AC_CODES[(r << 4) | s])
+        bw.write(v if v > 0 else v + (1 << s) - 1, s)
+        r = 0
+    if r > 0:
+        eobrun += 1
+    return eobrun
+
+
+def _emit_ac_refine_block(bw: "_BitWriter", blk: np.ndarray, Ss: int,
+                          Se: int, Al: int, eobrun: int,
+                          bebits: list[int]) -> tuple[int, list]:
+    """AC refinement scan: newly-significant coefficients as (r,1)
+    symbols + sign bit; one correction bit per already-nonzero
+    coefficient, buffered across ZRL/EOB boundaries (T.81 G.1.2.3)."""
+    absv, signs, eob = [], [], -1
+    for k in range(Ss, Se + 1):
+        v = int(blk[k])
+        a = (v if v >= 0 else -v) >> Al
+        absv.append(a)
+        signs.append(1 if v >= 0 else 0)
+        if a == 1:
+            eob = k
+    r, br_bits = 0, []
+    for i, a in enumerate(absv):
+        k = Ss + i
+        if a == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            eobrun, bebits = _emit_eobrun(bw, eobrun, bebits)
+            bw.write(*_PROG_AC_CODES[0xF0])
+            r -= 16
+            for b in br_bits:
+                bw.write(b, 1)
+            br_bits = []
+        if a > 1:                     # already significant: correction
+            br_bits.append(a & 1)     # bit rides with the next symbol
+            continue
+        eobrun, bebits = _emit_eobrun(bw, eobrun, bebits)
+        bw.write(*_PROG_AC_CODES[(r << 4) | 1])
+        bw.write(signs[i], 1)
+        for b in br_bits:
+            bw.write(b, 1)
+        br_bits = []
+        r = 0
+    if r > 0 or br_bits:              # trailing zero-history run -> EOB
+        eobrun += 1
+        bebits = bebits + br_bits
+        if eobrun == 0x7FFF or len(bebits) > 930:
+            eobrun, bebits = _emit_eobrun(bw, eobrun, bebits)
+    return eobrun, bebits
+
+
+def _scan_block_order(scomps: list[int], cmeta: dict, mcus_x: int,
+                      mcus_y: int, hmax: int, vmax: int, w: int, h: int):
+    """Yield (cid, padded-grid block index) in T.81 A.2 scan order:
+    MCU-interleaved for multi-component scans, component-raster over
+    the REAL block grid (stride = padded width) for single-component."""
+    if len(scomps) > 1:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for cid in scomps:
+                    hs, vs = cmeta[cid]
+                    bw_c = mcus_x * hs
+                    for by in range(vs):
+                        for bx in range(hs):
+                            yield cid, (my * vs + by) * bw_c + mx * hs + bx
+    else:
+        cid = scomps[0]
+        hs, vs = cmeta[cid]
+        bw_c = mcus_x * hs
+        cw = -(-(w * hs) // hmax)             # real component sample dims
+        ch = -(-(h * vs) // vmax)
+        bws = -(-cw // 8)
+        bhs = -(-ch // 8)
+        for u in range(bws * bhs):
+            yield cid, (u // bws) * bw_c + u % bws
+
+
+def _progressive_entropy(h: int, w: int, comps: list[tuple], zzs: dict,
+                         mcus_x: int, mcus_y: int) -> bytes:
+    """All SOS+entropy segments for the progressive scan script:
+    interleaved DC first (Al=1), per-component AC 1-63 first (Al=1),
+    per-component AC refine (Al=0), interleaved DC refine. Exercises
+    every decode path: spectral selection, successive approximation on
+    DC and AC, EOB runs, buffered correction bits, non-interleaved
+    block order."""
+    cmeta = {cid: (hs, vs) for cid, hs, vs in comps}
+    hmax = max(hs for _c, hs, _v in comps)
+    vmax = max(vs for _c, _h, vs in comps)
+    cids = [cid for cid, _h, _v in comps]
+    dc_tid = {cid: (0 if i == 0 else 1) for i, cid in enumerate(cids)}
+
+    def sos(scan_cids: list[int], tds: dict, tas: dict, Ss: int, Se: int,
+            Ah: int, Al: int) -> bytes:
+        body = bytes([len(scan_cids)])
+        for cid in scan_cids:
+            body += bytes([cid, (tds.get(cid, 0) << 4) | tas.get(cid, 0)])
+        body += bytes([Ss, Se, (Ah << 4) | Al])
+        return struct.pack(">HH", 0xFFDA, len(body) + 2) + body
+
+    out = bytearray()
+    # scan 1: DC first, all components interleaved, Al=1
+    out += sos(cids, dc_tid, {}, 0, 0, 0, 1)
+    bw = _BitWriter()
+    preds = {cid: 0 for cid in cids}
+    for cid, idx in _scan_block_order(cids, cmeta, mcus_x, mcus_y,
+                                      hmax, vmax, w, h):
+        preds[cid] = _emit_dc_first_block(bw, zzs[cid][idx], preds[cid], 1)
+    out += bw.flush()
+    # scans 2..: AC 1-63 first per component, Al=1
+    for cid in cids:
+        out += sos([cid], {}, {cid: 0}, 1, 63, 0, 1)
+        bw = _BitWriter()
+        eobrun = 0
+        for _c, idx in _scan_block_order([cid], cmeta, mcus_x, mcus_y,
+                                         hmax, vmax, w, h):
+            eobrun = _emit_ac_first_block(bw, zzs[cid][idx], 1, 63, 1,
+                                          eobrun)
+        _emit_eobrun(bw, eobrun, [])
+        out += bw.flush()
+    # AC refinement per component, Ah=1 -> Al=0
+    for cid in cids:
+        out += sos([cid], {}, {cid: 0}, 1, 63, 1, 0)
+        bw = _BitWriter()
+        eobrun, bebits = 0, []
+        for _c, idx in _scan_block_order([cid], cmeta, mcus_x, mcus_y,
+                                         hmax, vmax, w, h):
+            eobrun, bebits = _emit_ac_refine_block(
+                bw, zzs[cid][idx], 1, 63, 0, eobrun, bebits)
+        _emit_eobrun(bw, eobrun, bebits)
+        out += bw.flush()
+    # final scan: DC refine, interleaved, Ah=1 Al=0 (raw bits, no table)
+    out += sos(cids, {}, {}, 0, 0, 1, 0)
+    bw = _BitWriter()
+    for cid, idx in _scan_block_order(cids, cmeta, mcus_x, mcus_y,
+                                      hmax, vmax, w, h):
+        bw.write(int(zzs[cid][idx][0]) & 1, 1)
+    out += bw.flush()
+    return bytes(out)
+
+
 def _rgb_to_ycbcr(img: np.ndarray) -> tuple[np.ndarray, ...]:
     r = img[..., 0].astype(np.float64)
     g = img[..., 1].astype(np.float64)
@@ -1012,10 +1464,11 @@ def _rgb_to_ycbcr(img: np.ndarray) -> tuple[np.ndarray, ...]:
 
 
 def _jfif_headers(h: int, w: int, comps: list[tuple], qsegs: list[bytes],
-                  dpi: int | None) -> bytearray:
-    """SOI + APP0 + DQT(s) + SOF0 + DHTs (same canonical tables under
-    ids 0 and 1 — components reference them per class/id, so a decoder
-    must honor the table-id indirection)."""
+                  dpi: int | None, progressive: bool = False) -> bytearray:
+    """SOI + APP0 + DQT(s) + SOF0/SOF2 + DHTs (same canonical tables
+    under ids 0 and 1 — components reference them per class/id, so a
+    decoder must honor the table-id indirection). Progressive frames
+    replace the baseline AC tables with the flat EOBn-capable one."""
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
@@ -1033,23 +1486,31 @@ def _jfif_headers(h: int, w: int, comps: list[tuple], qsegs: list[bytes],
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for cid, samp, tq in comps:
         sof += bytes([cid, samp, tq])
-    out += seg(0xFFC0, sof)
+    out += seg(0xFFC2 if progressive else 0xFFC0, sof)
     out += seg(0xFFC4, dht(0, 0, _DC_BITS, _DC_SYMBOLS))
-    out += seg(0xFFC4, dht(1, 0, _AC_BITS, _AC_SYMBOLS))
+    if progressive:
+        out += seg(0xFFC4, dht(1, 0, _PROG_AC_BITS, _PROG_AC_SYMBOLS))
+    else:
+        out += seg(0xFFC4, dht(1, 0, _AC_BITS, _AC_SYMBOLS))
     if ncomp == 3:
         out += seg(0xFFC4, dht(0, 1, _DC_BITS, _DC_SYMBOLS))
-        out += seg(0xFFC4, dht(1, 1, _AC_BITS, _AC_SYMBOLS))
+        if not progressive:
+            out += seg(0xFFC4, dht(1, 1, _AC_BITS, _AC_SYMBOLS))
     return out
 
 
 def encode_jpeg(img: np.ndarray, quality: int = 90,
                 dpi: int | None = None,
-                subsampling: str = "444") -> bytes:
-    """Baseline JFIF: greyscale (1 band) or YCbCr color (3 bands,
-    `subsampling` '444' or '420' — box-mean chroma downsample). Lossy
-    (see module notes). `dpi` writes the JFIF APP0 density in
-    dots-per-inch (units=1); without it the header declares
-    aspect-ratio-only density (units=0), i.e. no physical resolution."""
+                subsampling: str = "444",
+                progressive: bool = False) -> bytes:
+    """JFIF: greyscale (1 band) or YCbCr color (3 bands, `subsampling`
+    '444' or '420' — box-mean chroma downsample). Lossy (see module
+    notes). `dpi` writes the JFIF APP0 density in dots-per-inch
+    (units=1); without it the header declares aspect-ratio-only density
+    (units=0), i.e. no physical resolution. `progressive` emits an SOF2
+    spectral-selection + successive-approximation scan script over the
+    SAME quantized coefficients, so baseline and progressive encodes of
+    one image decode pixel-identically."""
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
@@ -1061,13 +1522,20 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
         ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
         padded = np.pad(img, ((0, ph - h), (0, pw - w)),
                         mode="edge").astype(np.float64)
+        qsegs = [bytes([0]) + bytes(Q.reshape(-1)[_ZZ].tolist())]
+        zz = _block_zz(padded, Q)
+        if progressive:
+            out = _jfif_headers(h, w, [(1, 0x11, 0)], qsegs, dpi,
+                                progressive=True)
+            out += _progressive_entropy(h, w, [(1, 1, 1)], {1: zz},
+                                        pw // 8, ph // 8)
+            out += b"\xff\xd9"
+            return bytes(out)
         bw = _BitWriter()
         pred = 0
-        for blk in _block_zz(padded, Q):
+        for blk in zz:
             pred = _write_block(bw, blk, pred)
-        out = _jfif_headers(
-            h, w, [(1, 0x11, 0)],
-            [bytes([0]) + bytes(Q.reshape(-1)[_ZZ].tolist())], dpi)
+        out = _jfif_headers(h, w, [(1, 0x11, 0)], qsegs, dpi)
         out += seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
         out += bw.flush()
         out += b"\xff\xd9"                                      # EOI
@@ -1092,6 +1560,18 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
     zz_y = _block_zz(y, Qy)
     zz_cb = _block_zz(cb, Qc)
     zz_cr = _block_zz(cr, Qc)
+    qsegs = [bytes([0]) + bytes(Qy.reshape(-1)[_ZZ].tolist()),
+             bytes([1]) + bytes(Qc.reshape(-1)[_ZZ].tolist())]
+    if progressive:
+        sy = 1 if subsampling == "444" else 2
+        out = _jfif_headers(
+            h, w, [(1, (sy << 4) | sy, 0), (2, 0x11, 1), (3, 0x11, 1)],
+            qsegs, dpi, progressive=True)
+        out += _progressive_entropy(
+            h, w, [(1, sy, sy), (2, 1, 1), (3, 1, 1)],
+            {1: zz_y, 2: zz_cb, 3: zz_cr}, pw // mcu, ph // mcu)
+        out += b"\xff\xd9"
+        return bytes(out)
     ybw = pw // 8                       # Y blocks per row
     cbw = pw // 8 if subsampling == "444" else pw // 16
     bw = _BitWriter()
@@ -1214,11 +1694,114 @@ def _idct_plane(zz: np.ndarray, Q: np.ndarray, bh: int,
             .reshape(bh * 8, bw_ * 8))
 
 
+def _jpeg_scan_end(data: bytes, pos: int) -> int:
+    """Index of the first marker after `pos` that terminates entropy
+    data (stuffed 0xFF00 bytes and RST0-7 belong to the scan)."""
+    p = pos
+    n = len(data)
+    while p < n - 1:
+        p = data.find(b"\xff", p)
+        if p < 0 or p + 1 >= n:
+            return n
+        nxt = data[p + 1]
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+            p += 2
+            continue
+        return p
+    return n
+
+
+def _decode_dc_block(br: "_BitReader", blk: np.ndarray, dc_tab: dict,
+                     pred: int, Ah: int, Al: int) -> int:
+    """Progressive DC: first scan (Ah=0) decodes the point-transformed
+    difference; refinement ORs in the next lower bit (T.81 G.1.2.1)."""
+    if Ah == 0:
+        s = br.huff(dc_tab)
+        pred += _extend(br.bits(s), s) if s else 0
+        blk[0] = pred << Al
+    else:
+        if br.bits(1):
+            blk[0] |= 1 << Al
+    return pred
+
+
+def _decode_ac_first(br: "_BitReader", blk: np.ndarray, ac_tab: dict,
+                     Ss: int, Se: int, Al: int, eobrun: int) -> int:
+    """Progressive AC, first scan for this band (T.81 G.1.2.2): EOBn
+    run-length codes span whole blocks; values land shifted by Al."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = Ss
+    while k <= Se:
+        sym = br.huff(ac_tab)
+        r, s = sym >> 4, sym & 15
+        if s == 0:
+            if r != 15:                       # EOBn
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.bits(r)
+                break
+            k += 16                           # ZRL
+            continue
+        k += r
+        if k > Se:
+            raise ValueError("JPEG: AC index out of range")
+        blk[k] = _extend(br.bits(s), s) << Al
+        k += 1
+    return eobrun
+
+
+def _decode_ac_refine(br: "_BitReader", blk: np.ndarray, ac_tab: dict,
+                      Ss: int, Se: int, Al: int, eobrun: int) -> int:
+    """Progressive AC refinement (T.81 G.1.2.3): newly-significant
+    coefficients arrive as ±1<<Al; already-nonzero ones absorb one
+    correction bit each, including inside EOB runs."""
+    p1, m1 = 1 << Al, -1 << Al
+    k = Ss
+    if eobrun == 0:
+        while k <= Se:
+            sym = br.huff(ac_tab)
+            r, s = sym >> 4, sym & 15
+            val = 0
+            if s == 0:
+                if r != 15:                   # EOBn
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.bits(r)
+                    break
+            else:
+                val = p1 if br.bits(1) else m1
+            while k <= Se:                    # advance r zero-history
+                c = int(blk[k])               # coeffs, correcting the
+                if c != 0:                    # nonzero-history ones
+                    if br.bits(1) and not (c & p1):
+                        blk[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= Se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= Se:                        # EOB-run blocks still carry
+            c = int(blk[k])                   # correction bits
+            if c != 0:
+                if br.bits(1) and not (c & p1):
+                    blk[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline sequential JPEG (DHT-driven Huffman, DRI/RSTn, byte
-    stuffing): greyscale or 3-component YCbCr with any integer sampling
-    grid (4:4:4 / 4:2:2 / 4:2:0). Progressive (SOF2) and non-interleaved
-    multi-scan files are rejected."""
+    """Sequential (SOF0/SOF1) and progressive (SOF2) JFIF decode:
+    DHT-driven Huffman, DRI/RSTn, byte stuffing, interleaved and
+    non-interleaved scans, spectral selection + successive approximation
+    (T.81 Annex G). Greyscale or 3-component YCbCr with any integer
+    sampling grid (4:4:4 / 4:2:2 / 4:2:0). Arithmetic-coded, lossless
+    and hierarchical SOFs are rejected."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -1226,9 +1809,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     htabs: dict[tuple, dict[tuple, int]] = {}
     h = w = None
     comps: list[tuple[int, int, int, int]] = []   # (cid, hs, vs, tq)
-    stabs: dict[int, tuple[int, int]] = {}        # cid -> (Td, Ta)
     restart = 0
-    scan = None
+    progressive = False
+    n_scans = 0
+    zzs: dict[int, np.ndarray] = {}
+    cmeta: dict[int, tuple[int, int]] = {}
+    hmax = vmax = mcus_x = mcus_y = 1
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("JPEG: marker expected")
@@ -1265,7 +1851,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     code <<= 1
                 htabs[(cls, tid)] = table
                 i += 17 + n
-        elif marker == 0xC0:                   # SOF0 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):     # SOF0/1 sequential, 2 prog.
+            progressive = marker == 0xC2
             _prec, h, w, ncomp = struct.unpack_from(">BHHB", payload, 0)
             if ncomp not in (1, 3):
                 raise NotImplementedError(
@@ -1273,54 +1860,102 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for c in range(ncomp):
                 cid, samp, tq = payload[6 + 3 * c: 9 + 3 * c]
                 comps.append((cid, samp >> 4, samp & 15, tq))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            if any(hmax % c[1] or vmax % c[2] for c in comps):
+                raise NotImplementedError("JPEG: non-integer sampling "
+                                          "ratios")
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            # full (MCU-padded) coefficient grid per component; every
+            # scan accumulates into it
+            zzs = {cid: np.zeros((mcus_y * vs * mcus_x * hs, 64),
+                                 dtype=np.int32)
+                   for cid, hs, vs, _tq in comps}
+            cmeta = {cid: (hs, vs) for cid, hs, vs, _tq in comps}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0} (non-baseline) unsupported")
+                f"JPEG SOF{marker - 0xC0} (lossless/arithmetic/"
+                "hierarchical) unsupported")
         elif marker == 0xDD:                   # DRI
             (restart,) = struct.unpack_from(">H", payload, 0)
-        elif marker == 0xDA:                   # SOS: entropy data follows
+        elif marker == 0xDA:                   # SOS: one scan of many
+            if h is None:
+                raise ValueError("JPEG: SOS before SOF")
             ns = payload[0]
-            if ns != len(comps):
-                raise NotImplementedError(
-                    "JPEG: non-interleaved scans unsupported")
+            scomps = []                        # (cid, Td, Ta) in scan
             for c in range(ns):
                 cid, tt = payload[1 + 2 * c: 3 + 2 * c]
-                stabs[cid] = (tt >> 4, tt & 15)
-            scan = data[pos:]
-            break
-    if scan is None or h is None:
-        raise ValueError("JPEG: missing SOS/SOF")
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    if any(hmax % c[1] or vmax % c[2] for c in comps):
-        raise NotImplementedError("JPEG: non-integer sampling ratios")
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    zzs = {cid: np.zeros((mcus_y * vs * mcus_x * hs, 64), dtype=np.int32)
-           for cid, hs, vs, _tq in comps}
-    br = _BitReader(scan)
-    preds = {cid: 0 for cid, *_ in comps}
-    n_mcu = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart and n_mcu and n_mcu % restart == 0:
-                br.align()
-                m = br.at_marker()
-                if m is not None and 0xD0 <= m <= 0xD7:
-                    br.pos += 2                # consume RSTn
-                    br.acc = br.n = 0
-                preds = {cid: 0 for cid in preds}
-            n_mcu += 1
-            for cid, hs, vs, _tq in comps:
-                td, ta = stabs[cid]
-                dc_tab, ac_tab = htabs[(0, td)], htabs[(1, ta)]
+                scomps.append((cid, tt >> 4, tt & 15))
+            Ss, Se, ahal = payload[1 + 2 * ns: 4 + 2 * ns]
+            Ah, Al = ahal >> 4, ahal & 15
+            if not progressive:
+                Ss, Se, Ah, Al = 0, 63, 0, 0
+            end = _jpeg_scan_end(data, pos)
+            br = _BitReader(data[pos:end])
+            pos = end
+            n_scans += 1
+            preds = {cid: 0 for cid, _td, _ta in scomps}
+            eobrun = 0
+            # unit list: (cid, Td, Ta, block-index) — MCU-interleaved
+            # for ns>1, raster over the component's REAL block grid
+            # (stride = padded grid width) for ns=1 (T.81 A.2)
+            if ns > 1:
+                units: list[list[tuple]] = []
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        unit = []
+                        for cid, td, ta in scomps:
+                            hs, vs = cmeta[cid]
+                            bw_c = mcus_x * hs
+                            unit.append(
+                                (cid, td, ta,
+                                 [(my * vs + by) * bw_c + mx * hs + bx
+                                  for by in range(vs)
+                                  for bx in range(hs)]))
+                        units.append(unit)
+            else:
+                cid, td, ta = scomps[0]
+                hs, vs = cmeta[cid]
                 bw_c = mcus_x * hs
-                for by in range(vs):
-                    for bx in range(hs):
-                        idx = (my * vs + by) * bw_c + mx * hs + bx
-                        zzs[cid][idx], preds[cid] = _read_block(
-                            br, dc_tab, ac_tab, preds[cid])
+                cw = -(-(w * hs) // hmax)      # component sample dims
+                ch = -(-(h * vs) // vmax)
+                blocks_w = -(-cw // 8)
+                blocks_h = -(-ch // 8)
+                units = [[(cid, td, ta,
+                           [(u // blocks_w) * bw_c + u % blocks_w])]
+                         for u in range(blocks_w * blocks_h)]
+            for n_unit, unit in enumerate(units):
+                if restart and n_unit and n_unit % restart == 0:
+                    br.align()
+                    m = br.at_marker()
+                    if m is not None and 0xD0 <= m <= 0xD7:
+                        br.pos += 2            # consume RSTn
+                        br.acc = br.n = 0
+                    preds = {cid: 0 for cid in preds}
+                    eobrun = 0
+                for cid, td, ta, idxs in unit:
+                    for idx in idxs:
+                        blk = zzs[cid][idx]
+                        if not progressive:
+                            zzs[cid][idx], preds[cid] = _read_block(
+                                br, htabs[(0, td)], htabs[(1, ta)],
+                                preds[cid])
+                        elif Ss == 0:          # DC scan (Se must be 0)
+                            dc_tab = htabs[(0, td)] if Ah == 0 else None
+                            preds[cid] = _decode_dc_block(
+                                br, blk, dc_tab, preds[cid], Ah, Al)
+                        elif Ah == 0:          # AC first (ns == 1)
+                            eobrun = _decode_ac_first(
+                                br, blk, htabs[(1, ta)], Ss, Se, Al,
+                                eobrun)
+                        else:                  # AC refinement
+                            eobrun = _decode_ac_refine(
+                                br, blk, htabs[(1, ta)], Ss, Se, Al,
+                                eobrun)
+    if h is None or n_scans == 0:
+        raise ValueError("JPEG: missing SOS/SOF")
     planes = {}
     for cid, hs, vs, tq in comps:
         plane = _idct_plane(zzs[cid], qtabs[tq], mcus_y * vs, mcus_x * hs)

@@ -86,15 +86,22 @@ def reencode_media(media: DataFrame, codec: str,
                    packbits: bool = False,
                    compression: str | None = None,
                    dpi: int | None = None,
-                   jpeg_subsampling: str = "444") -> DataFrame:
+                   jpeg_subsampling: str = "444",
+                   jpeg_progressive: bool = False,
+                   png_palette: bool = False,
+                   png_interlace: bool = False,
+                   tiff_bits: int = 8) -> DataFrame:
     """Re-encode raw media payloads with a real codec —
     the inverse of decode, used as a sink format and to drive the codec
     decode path end-to-end through the OCR pipeline. mapInPandas per
     Arrow batch; width/height/bands metadata is preserved. For tiff,
-    `compression` picks 'none' | 'packbits' | 'deflate'. `dpi` embeds
-    the physical resolution in the output metadata (TIFF XResolution,
-    PNG pHYs, JFIF density, BMP ppm) — read back on decode by the S5
-    resolution chain (oracle.page.resolve_ppi)."""
+    `compression` picks 'none' | 'packbits' | 'deflate' and `tiff_bits`
+    the bits-per-sample (1 = bilevel threshold-128, the fax/scan
+    staple). For jpeg, `jpeg_progressive` emits an SOF2 scan script;
+    for png, `png_palette`/`png_interlace` pick indexed color and
+    Adam7. `dpi` embeds the physical resolution in the output metadata
+    (TIFF XResolution, PNG pHYs, JFIF density, BMP ppm) — read back on
+    decode by the S5 resolution chain (oracle.page.resolve_ppi)."""
     if codec not in CODECS_REAL:
         raise ValueError(f"encodable codecs are {CODECS_REAL}, got {codec!r}")
     if dpi and codec not in ("bmp", "tiff", "png", "jpeg"):
@@ -107,10 +114,15 @@ def reencode_media(media: DataFrame, codec: str,
                 img = decode(r.payload, r.width, r.height, r.bands)
                 if codec == "tiff":
                     enc = ENCODERS["tiff"](img, packbits, compression,
-                                           dpi=dpi)
+                                           dpi=dpi, bits=tiff_bits)
                 elif codec == "jpeg":
                     enc = ENCODERS["jpeg"](img, dpi=dpi,
-                                           subsampling=jpeg_subsampling)
+                                           subsampling=jpeg_subsampling,
+                                           progressive=jpeg_progressive)
+                elif codec == "png" and (png_palette or png_interlace):
+                    enc = ENCODERS["png"](img, dpi=dpi,
+                                          palette=png_palette,
+                                          interlace=png_interlace)
                 elif dpi:
                     enc = ENCODERS[codec](img, dpi=dpi)
                 else:

@@ -124,11 +124,14 @@ def _spans_table(rows: list[dict]) -> pa.Table:
     })
 
 
-def _color_jpeg_span_rows(corpus: Corpus, n_docs: int) -> list[dict]:
+def _color_jpeg_span_rows(corpus: Corpus, n_docs: int,
+                          progressive: bool = False) -> list[dict]:
     """Spans over colorized + 4:2:0 color-JPEG media: the single-process
     twin of extract_spans(docs, reencode_media(colorize_media(media),
     'jpeg', jpeg_subsampling='420')) — same colorize/encode/decode
-    kernels assembled with plain Python."""
+    kernels assembled with plain Python. `progressive` runs the SOF2
+    scan-script twin (pixel-identical by construction; the separate
+    expectation file keeps the gate self-contained)."""
     from org_dharts_dia_tesseract_spark.codecs_img import encode_jpeg
     from org_dharts_dia_tesseract_spark.datagen import colorize_page
     cache: dict[str, dict] = {}
@@ -138,8 +141,33 @@ def _color_jpeg_span_rows(corpus: Corpus, n_docs: int) -> list[dict]:
             m = corpus.media(ref)
             img = decode_payload(m["payload"], m["width"], m["height"],
                                  m["bands"])
-            blob = encode_jpeg(colorize_page(img), subsampling="420")
+            blob = encode_jpeg(colorize_page(img), subsampling="420",
+                               progressive=progressive)
             cache[ref] = {**m, "bands": 3, "payload": blob}
+        return cache[ref]
+
+    rows = []
+    for doc in corpus.docs[:n_docs]:
+        rows.extend(document_spans(doc, lookup))
+    return rows
+
+
+def _bilevel_span_rows(corpus: Corpus, n_docs: int) -> list[dict]:
+    """Spans over 1-bit PackBits TIFF media: the single-process twin of
+    extract_spans(docs, reencode_media(media, 'tiff',
+    compression='packbits', tiff_bits=1)). Threshold-128 binarization
+    changes pixels, so this expectation is computed through the same
+    encode/decode chain rather than aliased to the raw run."""
+    from org_dharts_dia_tesseract_spark.codecs_img import encode_tiff
+    cache: dict[str, dict] = {}
+
+    def lookup(ref: str) -> dict:
+        if ref not in cache:
+            m = corpus.media(ref)
+            img = decode_payload(m["payload"], m["width"], m["height"],
+                                 m["bands"])
+            blob = encode_tiff(img, compression="packbits", bits=1)
+            cache[ref] = {**m, "payload": blob}
         return cache[ref]
 
     rows = []
@@ -458,6 +486,12 @@ def main() -> None:
     write("ocr_spans_jpeg_media", _spans_table(spans_200))
     write("ocr_spans_jpeg_color_media",
           _spans_table(_color_jpeg_span_rows(corpus, CAP_MEDIA)))
+    write("ocr_spans_jpeg_prog_media",
+          _spans_table(_color_jpeg_span_rows(corpus, CAP_MEDIA,
+                                             progressive=True)))
+    write("ocr_spans_png_palette_media", _spans_table(spans_200))
+    write("ocr_spans_tiff_bilevel_media",
+          _spans_table(_bilevel_span_rows(corpus, CAP_MEDIA)))
     write("ocr_spans_jp2_media", _spans_table(spans_200))
     write("ocr_spans_pdf_media", _spans_table(spans_200))
     write("pdf_text_extract", _pdf_text_table(corpus, CAP_MEDIA))

@@ -1,0 +1,290 @@
+"""Round-4 codec-surface tests: progressive JPEG (SOF2), SOF1, the
+widened PNG surface (palette/alpha/16-bit/sub-byte/Adam7), bilevel and
+wide TIFF, 16-bit PNM.
+
+Reference surface: the wrapper delegates decode to javax.imageio
+(ImageIOHelper.java:270-327), whose stock plugins read progressive
+JPEG, interlaced/palette/16-bit PNG, and bilevel TIFF — formats a real
+scanned-document / web corpus is full of."""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from org_dharts_dia_tesseract_spark.codecs_img import (
+    decode_jpeg, encode_jpeg, decode_png, encode_png, decode_tiff,
+    encode_tiff, decode_pnm, encode_pnm)
+
+
+def _img(shape, seed=0):
+    return (np.random.default_rng(seed).random(shape) * 255).astype(np.uint8)
+
+
+def _flat_with_details(shape, seed=1):
+    """Mostly-flat image: long zero runs in AC coefficients -> exercises
+    EOBn accumulation across blocks."""
+    img = np.full(shape, 200, dtype=np.uint8)
+    rng = np.random.default_rng(seed)
+    h, w = shape[:2]
+    for _ in range(4):
+        y, x = int(rng.integers(0, h)), int(rng.integers(0, w))
+        img[y, x] = 20
+    return img
+
+
+# -- progressive JPEG --------------------------------------------------------
+
+class TestProgressiveJpeg:
+    @pytest.mark.parametrize("shape", [(8, 8), (24, 24), (37, 53), (5, 3)])
+    def test_grey_progressive_equals_baseline(self, shape):
+        """Baseline and progressive encode the SAME quantized
+        coefficients, so the decodes must be pixel-identical."""
+        img = _img(shape, seed=11)
+        base = decode_jpeg(encode_jpeg(img, 90))
+        prog = decode_jpeg(encode_jpeg(img, 90, progressive=True))
+        assert np.array_equal(base, prog)
+
+    @pytest.mark.parametrize("sub", ["444", "420"])
+    @pytest.mark.parametrize("shape", [(32, 32, 3), (37, 53, 3), (9, 21, 3)])
+    def test_color_progressive_equals_baseline(self, shape, sub):
+        img = _img(shape, seed=12)
+        base = decode_jpeg(encode_jpeg(img, 85, subsampling=sub))
+        prog = decode_jpeg(encode_jpeg(img, 85, subsampling=sub,
+                                       progressive=True))
+        assert np.array_equal(base, prog)
+
+    def test_eobrun_accumulation(self):
+        """A large flat image produces EOB runs spanning many blocks
+        (the EOBn > EOB0 decode path)."""
+        img = _flat_with_details((128, 128), seed=3)
+        base = decode_jpeg(encode_jpeg(img, 90))
+        prog = decode_jpeg(encode_jpeg(img, 90, progressive=True))
+        assert np.array_equal(base, prog)
+        img3 = np.stack([img, 255 - img, img], axis=2)
+        base = decode_jpeg(encode_jpeg(img3, 90, subsampling="420"))
+        prog = decode_jpeg(encode_jpeg(img3, 90, subsampling="420",
+                                       progressive=True))
+        assert np.array_equal(base, prog)
+
+    def test_progressive_is_sof2(self):
+        blob = encode_jpeg(_img((16, 16)), 90, progressive=True)
+        assert b"\xff\xc2" in blob and b"\xff\xc0" not in blob
+        assert blob.count(b"\xff\xda") == 4       # DC, AC, ACr, DCr scans
+
+    def test_sof1_extended_sequential_decodes(self):
+        """SOF1 (extended sequential, Huffman) uses the identical
+        entropy layout at 8-bit precision — accept it."""
+        img = _img((24, 24), seed=5)
+        blob = bytearray(encode_jpeg(img, 90))
+        sof = blob.find(b"\xff\xc0")
+        blob[sof + 1] = 0xC1
+        assert np.array_equal(decode_jpeg(bytes(blob)),
+                              decode_jpeg(encode_jpeg(img, 90)))
+
+    def test_lossless_sof_still_rejected(self):
+        img = _img((16, 16))
+        blob = bytearray(encode_jpeg(img, 90))
+        sof = blob.find(b"\xff\xc0")
+        blob[sof + 1] = 0xC3
+        with pytest.raises(NotImplementedError):
+            decode_jpeg(bytes(blob))
+
+    def test_page_analysis_identical_raw_vs_progressive(self):
+        from org_dharts_dia_tesseract_spark.datagen import fixture_page
+        from org_dharts_dia_tesseract_spark.oracle.page import analyze_page
+        img = fixture_page("simple_poetry")
+        a = analyze_page(decode_jpeg(encode_jpeg(img, 90)))
+        b = analyze_page(decode_jpeg(encode_jpeg(img, 90,
+                                                 progressive=True)))
+        ra = [(r["level"], r["text"], r["left"], r["top"], r["right"],
+               r["bottom"]) for r in a.rows()]
+        rb = [(r["level"], r["text"], r["left"], r["top"], r["right"],
+               r["bottom"]) for r in b.rows()]
+        assert ra == rb
+
+
+# -- PNG surface -------------------------------------------------------------
+
+class TestPngSurface:
+    @pytest.mark.parametrize("depth", [1, 2, 4, 8])
+    def test_palette_roundtrip_color(self, depth):
+        n = 1 << depth
+        rng = np.random.default_rng(depth)
+        pal = (rng.random((n, 3)) * 255).astype(np.uint8)
+        idx = rng.integers(0, n, size=(13, 17))
+        img = pal[idx]
+        out = decode_png(encode_png(img, palette=True, depth=depth))
+        assert out.shape == (13, 17, 3)
+        assert np.array_equal(out, img)
+
+    def test_palette_grey_collapses_to_1band(self):
+        """A grey palette (R==G==B everywhere) IS a greyscale image —
+        decode keeps the 1-band shape so the media bands contract
+        (operators/multimodal.decode) holds for palette-encoded pages."""
+        img = np.choose(np.arange(12).reshape(3, 4) % 3,
+                        [0, 128, 255]).astype(np.uint8)
+        out = decode_png(encode_png(img, palette=True, depth=2))
+        assert out.shape == (3, 4)
+        assert np.array_equal(out, img)
+
+    def test_palette_too_many_colors_raises(self):
+        img = np.arange(16, dtype=np.uint8).reshape(4, 4)
+        with pytest.raises(ValueError, match="palette"):
+            encode_png(img, palette=True, depth=2)
+
+    def test_trns_palette_alpha_composites_white(self):
+        import struct
+        import zlib
+        # hand-build: 2-entry palette, entry 0 fully transparent
+        sig = b"\x89PNG\r\n\x1a\n"
+
+        def chunk(typ, data):
+            return (struct.pack(">I", len(data)) + typ + data
+                    + struct.pack(">I", zlib.crc32(typ + data)
+                                  & 0xFFFFFFFF))
+
+        ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0)
+        plte = bytes([10, 20, 30, 200, 100, 50])
+        raw = b"\x00" + bytes([0, 1])
+        blob = (sig + chunk(b"IHDR", ihdr) + chunk(b"PLTE", plte)
+                + chunk(b"tRNS", bytes([0]))           # entry 0: a=0
+                + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+        out = decode_png(blob)
+        assert tuple(out[0, 0]) == (255, 255, 255)      # transparent->white
+        assert tuple(out[0, 1]) == (200, 100, 50)
+
+    def test_rgba_composites_over_white(self):
+        img = np.full((4, 4, 3), 0, dtype=np.uint8)
+        alpha = np.full((4, 4), 0, dtype=np.uint8)
+        alpha[0, 0] = 255                               # one opaque pixel
+        out = decode_png(encode_png(img, alpha=alpha))
+        assert tuple(out[0, 0]) == (0, 0, 0)
+        assert tuple(out[1, 1]) == (255, 255, 255)
+
+    def test_grey_alpha_composites_over_white(self):
+        img = np.full((3, 3), 40, dtype=np.uint8)
+        alpha = np.full((3, 3), 128, dtype=np.uint8)
+        out = decode_png(encode_png(img, alpha=alpha))
+        assert out.shape == (3, 3)
+        # 40*128/255 + 255*127/255 = 20.07... + 127 = 147 (round half up)
+        assert int(out[0, 0]) == round((40 * 128 + 255 * 127) / 255)
+
+    def test_16bit_exact_roundtrip(self):
+        g = _img((9, 7), seed=21)
+        c = _img((9, 7, 3), seed=22)
+        assert np.array_equal(decode_png(encode_png(g, depth=16)), g)
+        assert np.array_equal(decode_png(encode_png(c, depth=16)), c)
+
+    @pytest.mark.parametrize("depth", [1, 2, 4])
+    def test_subbyte_grey_roundtrip(self, depth):
+        step = 255 // ((1 << depth) - 1)
+        levels = np.arange(1 << depth) * step
+        rng = np.random.default_rng(depth + 7)
+        img = levels[rng.integers(0, 1 << depth, size=(11, 13))].astype(
+            np.uint8)
+        out = decode_png(encode_png(img, depth=depth))
+        assert np.array_equal(out, img)
+
+    @pytest.mark.parametrize("shape", [(1, 1), (2, 3), (9, 7), (16, 16),
+                                       (23, 31)])
+    def test_adam7_grey_roundtrip(self, shape):
+        img = _img(shape, seed=31)
+        assert np.array_equal(decode_png(encode_png(img, interlace=True)),
+                              img)
+
+    def test_adam7_color_palette_and_16bit(self):
+        c = _img((13, 10, 3), seed=32)
+        assert np.array_equal(
+            decode_png(encode_png(c, interlace=True)), c)
+        assert np.array_equal(
+            decode_png(encode_png(c, interlace=True, depth=16)), c)
+        pal = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0],
+                        [0, 0, 255]], dtype=np.uint8)
+        idx = np.random.default_rng(33).integers(0, 4, size=(13, 10))
+        img = pal[idx]
+        assert np.array_equal(
+            decode_png(encode_png(img, interlace=True, palette=True,
+                                  depth=2)), img)
+
+    def test_dpi_still_readable_on_new_surface(self):
+        from org_dharts_dia_tesseract_spark.codecs_img import read_dpi
+        img = _img((6, 6), seed=41)
+        assert read_dpi(encode_png(img, dpi=300, interlace=True)) == 300
+
+
+# -- TIFF bits-per-sample ----------------------------------------------------
+
+class TestTiffBits:
+    @pytest.mark.parametrize("compression", ["none", "packbits", "deflate"])
+    def test_bilevel_roundtrip(self, compression):
+        rng = np.random.default_rng(51)
+        img = (rng.random((15, 21)) > 0.5).astype(np.uint8) * 255
+        out = decode_tiff(encode_tiff(img, compression=compression,
+                                      bits=1))
+        assert np.array_equal(out, img)
+
+    def test_bilevel_thresholds_grey(self):
+        img = np.array([[0, 100, 127, 128, 200, 255]], dtype=np.uint8)
+        out = decode_tiff(encode_tiff(img, bits=1))
+        assert list(out[0]) == [0, 0, 0, 255, 255, 255]
+
+    def test_4bit_roundtrip(self):
+        levels = np.arange(16) * 17
+        rng = np.random.default_rng(52)
+        img = levels[rng.integers(0, 16, size=(9, 11))].astype(np.uint8)
+        assert np.array_equal(decode_tiff(encode_tiff(img, bits=4)), img)
+        odd = levels[rng.integers(0, 16, size=(3, 5))].astype(np.uint8)
+        assert np.array_equal(decode_tiff(encode_tiff(odd, bits=4)), odd)
+
+    def test_16bit_roundtrip(self):
+        img = _img((7, 9), seed=53)
+        assert np.array_equal(decode_tiff(encode_tiff(img, bits=16)), img)
+
+    def test_rejections(self):
+        img3 = _img((4, 4, 3))
+        with pytest.raises(ValueError, match="1-band"):
+            encode_tiff(img3, bits=1)
+        with pytest.raises(ValueError, match="predictor"):
+            encode_tiff(_img((4, 4)), compression="lzw", predictor=True,
+                        bits=1)
+
+
+# -- GIF color ---------------------------------------------------------------
+
+class TestGifColor:
+    def test_color_exact_palette_roundtrip(self):
+        from org_dharts_dia_tesseract_spark.codecs_img import (decode_gif,
+                                                               encode_gif)
+        pal = np.array([[250, 10, 10], [10, 250, 10], [10, 10, 250],
+                        [0, 0, 0]], dtype=np.uint8)
+        idx = np.random.default_rng(71).integers(0, 4, size=(14, 9))
+        img = pal[idx]
+        out = decode_gif(encode_gif(img))
+        assert out.shape == (14, 9, 3)
+        assert np.array_equal(out, img)
+
+    def test_too_many_colors_raises(self):
+        from org_dharts_dia_tesseract_spark.codecs_img import encode_gif
+        rng = np.random.default_rng(72)
+        img = rng.integers(0, 256, size=(32, 32, 3)).astype(np.uint8)
+        with pytest.raises(ValueError, match="distinct"):
+            encode_gif(img)
+
+
+# -- PNM wide samples --------------------------------------------------------
+
+class TestPnmWide:
+    def test_16bit_binary_roundtrip(self):
+        g = _img((8, 5), seed=61)
+        c = _img((8, 5, 3), seed=62)
+        assert np.array_equal(decode_pnm(encode_pnm(g, maxval=65535)), g)
+        assert np.array_equal(decode_pnm(encode_pnm(c, maxval=65535)), c)
+
+    def test_ascii_wide_maxval_scales(self):
+        blob = b"P2\n2 1\n1000\n0 1000\n"
+        out = decode_pnm(blob)
+        assert list(out[0]) == [0, 255]
+
+    def test_bad_maxval_rejected(self):
+        with pytest.raises(ValueError):
+            decode_pnm(b"P5\n1 1\n70000\n\x00")

@@ -138,8 +138,14 @@ def test_png_unsupported_variants_rejected():
     def chunk(typ, data):
         return (struct.pack(">I", len(data)) + typ + data
                 + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
-    # 16-bit depth
+    # 16-bit grey decodes since round 4 (high byte kept)
     ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    blob = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+            + chunk(b"IEND", b""))
+    assert decode_png(blob).shape == (2, 2)
+    # an invalid color type is still rejected
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 5, 0, 0, 0)
     blob = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
             + chunk(b"IEND", b""))
@@ -195,10 +201,18 @@ def test_gif_interlaced_and_color_palette_decode():
     assert np.array_equal(got, exp)
 
 
-def test_gif_rejects_rgb_encode():
-    from org_dharts_dia_tesseract_spark.codecs_img import encode_gif
-    with pytest.raises(ValueError, match="greyscale"):
-        encode_gif(_rand_img((4, 4, 3)))
+def test_gif_rgb_encode_surface():
+    """RGB encode is exact-palette since round 4: <=256 distinct colors
+    round-trip; beyond that GIF's palette model is exceeded and the
+    encoder refuses rather than quantize lossily."""
+    from org_dharts_dia_tesseract_spark.codecs_img import (decode_gif,
+                                                           encode_gif)
+    small = _rand_img((4, 4, 3), seed=9)          # <= 16 distinct colors
+    assert np.array_equal(decode_gif(encode_gif(small)), small)
+    rng = np.random.default_rng(10)
+    big = rng.integers(0, 256, size=(40, 40, 3)).astype(np.uint8)
+    with pytest.raises(ValueError, match="distinct"):
+        encode_gif(big)
 
 
 # -- JPEG codec (lossy) -----------------------------------------------------
@@ -254,10 +268,11 @@ def test_jpeg_restart_markers_and_rejections():
     err = np.abs(decode_jpeg(encode_jpeg(color, 90)).astype(int)
                  - color.astype(int))
     assert err.max() < 80
-    # progressive (SOF2) rejected
+    # lossless (SOF3) still rejected; progressive (SOF2) is real since
+    # round 4 — tests/test_codecs_round4.py pins that surface
     prog = bytearray(encode_jpeg(img))
     sof = prog.find(b"\xff\xc0")
-    prog[sof + 1] = 0xC2
+    prog[sof + 1] = 0xC3
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(prog))
 
