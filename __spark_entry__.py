@@ -293,6 +293,23 @@ def _ocr_spans_tiff_bilevel_media(spark: SparkSession,
                                               tiff_bits=1))
 
 
+def _ocr_spans_tiff_g4_media(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Span extraction over CCITT Group 4 (T.6 MMR, TIFF compression 4)
+    payloads — THE archival scanned-document encoding: 2-D pass/
+    horizontal/vertical coding against the previous line, single
+    stateful strip, WhiteIsZero. G4 is lossless over the thresholded
+    image, so the expectation equals the bilevel gate's (same
+    single-process twin, scripts/gen_expected.py:_bilevel_span_rows)."""
+    from org_dharts_dia_tesseract_spark.operators import extract_spans
+    from org_dharts_dia_tesseract_spark.operators.multimodal import \
+        reencode_media
+    docs, media = _interleaved_corpus(spark, sf_dir, 200)
+    return extract_spans(docs, reencode_media(media, "tiff",
+                                              compression="g4",
+                                              tiff_bits=1))
+
+
 def _pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF text-layer parse: render each document's text spans as a
     Tj-stream PDF (sink), then parse the shown strings back out
@@ -329,7 +346,7 @@ _PRIORITY = [
     # (0) new this round
     "ocr_dpi_font_attrs", "ocr_spans_jpeg_color_media",
     "ocr_spans_jpeg_prog_media", "ocr_spans_png_palette_media",
-    "ocr_spans_tiff_bilevel_media",
+    "ocr_spans_tiff_bilevel_media", "ocr_spans_tiff_g4_media",
     # (1) last driver-green in round 1
     "json_props_extract", "array_component_stats",
     # (2) last driver-green in round 2
@@ -380,6 +397,7 @@ _RASTER_GATES = {
     "ocr_spans_jpeg_prog_media": _ocr_spans_jpeg_prog_media,
     "ocr_spans_png_palette_media": _ocr_spans_png_palette_media,
     "ocr_spans_tiff_bilevel_media": _ocr_spans_tiff_bilevel_media,
+    "ocr_spans_tiff_g4_media": _ocr_spans_tiff_g4_media,
     "ocr_spans_jp2_media": _ocr_spans_jp2_media,
     "ocr_spans_pdf_media": _ocr_spans_pdf_media,
     "pdf_text_extract": _pdf_text_extract,

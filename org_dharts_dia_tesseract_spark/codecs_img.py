@@ -25,6 +25,7 @@ inherently sequential (LZW symbol stream, PNG Average/Paeth filters).
 
 from __future__ import annotations
 
+import bisect
 import struct
 
 import numpy as np
@@ -340,7 +341,322 @@ def packbits_decode(data: bytes, expected: int) -> bytes:
     return bytes(out)
 
 
-_TIFF_COMPRESSION = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}
+# ---------------------------------------------------------------------------
+# CCITT Group 3 (T.4 Modified Huffman, TIFF compression 2) and Group 4
+# (T.6 MMR two-dimensional coding, TIFF compression 4) — the canonical
+# bilevel fax / scanned-document encodings. Both directions implemented
+# from the ITU tables below. As with the JP2 module, the two sides are
+# mutually consistent by construction and the run tables are asserted
+# prefix-free by tests; no external CCITT bitstream is available in
+# this environment to cross-check interop.
+# ---------------------------------------------------------------------------
+
+# T.4 Table 1/2: (run -> (bits, code)) terminating (0-63) + makeup
+# (64-1728); extended makeup 1792-2560 (T.4 Table 3) shared by both.
+_CCITT_WHITE = {
+    0: (8, 0x35), 1: (6, 0x07), 2: (4, 0x7), 3: (4, 0x8), 4: (4, 0xB),
+    5: (4, 0xC), 6: (4, 0xE), 7: (4, 0xF), 8: (5, 0x13), 9: (5, 0x14),
+    10: (5, 0x07), 11: (5, 0x08), 12: (6, 0x08), 13: (6, 0x03),
+    14: (6, 0x34), 15: (6, 0x35), 16: (6, 0x2A), 17: (6, 0x2B),
+    18: (7, 0x27), 19: (7, 0x0C), 20: (7, 0x08), 21: (7, 0x17),
+    22: (7, 0x03), 23: (7, 0x04), 24: (7, 0x28), 25: (7, 0x2B),
+    26: (7, 0x13), 27: (7, 0x24), 28: (7, 0x18), 29: (8, 0x02),
+    30: (8, 0x03), 31: (8, 0x1A), 32: (8, 0x1B), 33: (8, 0x12),
+    34: (8, 0x13), 35: (8, 0x14), 36: (8, 0x15), 37: (8, 0x16),
+    38: (8, 0x17), 39: (8, 0x28), 40: (8, 0x29), 41: (8, 0x2A),
+    42: (8, 0x2B), 43: (8, 0x2C), 44: (8, 0x2D), 45: (8, 0x04),
+    46: (8, 0x05), 47: (8, 0x0A), 48: (8, 0x0B), 49: (8, 0x52),
+    50: (8, 0x53), 51: (8, 0x54), 52: (8, 0x55), 53: (8, 0x24),
+    54: (8, 0x25), 55: (8, 0x58), 56: (8, 0x59), 57: (8, 0x5A),
+    58: (8, 0x5B), 59: (8, 0x4A), 60: (8, 0x4B), 61: (8, 0x32),
+    62: (8, 0x33), 63: (8, 0x34),
+    64: (5, 0x1B), 128: (5, 0x12), 192: (6, 0x17), 256: (7, 0x37),
+    320: (8, 0x36), 384: (8, 0x37), 448: (8, 0x64), 512: (8, 0x65),
+    576: (8, 0x68), 640: (8, 0x67), 704: (9, 0xCC), 768: (9, 0xCD),
+    832: (9, 0xD2), 896: (9, 0xD3), 960: (9, 0xD4), 1024: (9, 0xD5),
+    1088: (9, 0xD6), 1152: (9, 0xD7), 1216: (9, 0xD8), 1280: (9, 0xD9),
+    1344: (9, 0xDA), 1408: (9, 0xDB), 1472: (9, 0x98), 1536: (9, 0x99),
+    1600: (9, 0x9A), 1664: (6, 0x18), 1728: (9, 0x9B),
+}
+_CCITT_BLACK = {
+    0: (10, 0x37), 1: (3, 0x2), 2: (2, 0x3), 3: (2, 0x2), 4: (3, 0x3),
+    5: (4, 0x3), 6: (4, 0x2), 7: (5, 0x3), 8: (6, 0x5), 9: (6, 0x4),
+    10: (7, 0x4), 11: (7, 0x5), 12: (7, 0x7), 13: (8, 0x4),
+    14: (8, 0x7), 15: (9, 0x18), 16: (10, 0x17), 17: (10, 0x18),
+    18: (10, 0x8), 19: (11, 0x67), 20: (11, 0x68), 21: (11, 0x6C),
+    22: (11, 0x37), 23: (11, 0x28), 24: (11, 0x17), 25: (11, 0x18),
+    26: (12, 0xCA), 27: (12, 0xCB), 28: (12, 0xCC), 29: (12, 0xCD),
+    30: (12, 0x68), 31: (12, 0x69), 32: (12, 0x6A), 33: (12, 0x6B),
+    34: (12, 0xD2), 35: (12, 0xD3), 36: (12, 0xD4), 37: (12, 0xD5),
+    38: (12, 0xD6), 39: (12, 0xD7), 40: (12, 0x6C), 41: (12, 0x6D),
+    42: (12, 0xDA), 43: (12, 0xDB), 44: (12, 0x54), 45: (12, 0x55),
+    46: (12, 0x56), 47: (12, 0x57), 48: (12, 0x64), 49: (12, 0x65),
+    50: (12, 0x52), 51: (12, 0x53), 52: (12, 0x24), 53: (12, 0x37),
+    54: (12, 0x38), 55: (12, 0x27), 56: (12, 0x28), 57: (12, 0x58),
+    58: (12, 0x59), 59: (12, 0x2B), 60: (12, 0x2C), 61: (12, 0x5A),
+    62: (12, 0x66), 63: (12, 0x67),
+    64: (10, 0xF), 128: (12, 0xC8), 192: (12, 0xC9), 256: (12, 0x5B),
+    320: (12, 0x33), 384: (12, 0x34), 448: (12, 0x35), 512: (13, 0x6C),
+    576: (13, 0x6D), 640: (13, 0x4A), 704: (13, 0x4B), 768: (13, 0x4C),
+    832: (13, 0x4D), 896: (13, 0x72), 960: (13, 0x73), 1024: (13, 0x74),
+    1088: (13, 0x75), 1152: (13, 0x76), 1216: (13, 0x77),
+    1280: (13, 0x52), 1344: (13, 0x53), 1408: (13, 0x54),
+    1472: (13, 0x55), 1536: (13, 0x5A), 1600: (13, 0x5B),
+    1664: (13, 0x64), 1728: (13, 0x65),
+}
+_CCITT_EXT = {
+    1792: (11, 0x8), 1856: (11, 0xC), 1920: (11, 0xD), 1984: (12, 0x12),
+    2048: (12, 0x13), 2112: (12, 0x14), 2176: (12, 0x15),
+    2240: (12, 0x16), 2304: (12, 0x17), 2368: (12, 0x1C),
+    2432: (12, 0x1D), 2496: (12, 0x1E), 2560: (12, 0x1F),
+}
+_CCITT_WHITE_ALL = {**_CCITT_WHITE, **_CCITT_EXT}
+_CCITT_BLACK_ALL = {**_CCITT_BLACK, **_CCITT_EXT}
+# decode maps: (bits, code) -> run
+_CCITT_WHITE_DEC = {v: k for k, v in _CCITT_WHITE_ALL.items()}
+_CCITT_BLACK_DEC = {v: k for k, v in _CCITT_BLACK_ALL.items()}
+# T.6 mode codes: (bits, code)
+_G4_V0 = (1, 0x1)
+_G4_VR = {1: (3, 0x3), 2: (6, 0x3), 3: (7, 0x3)}
+_G4_VL = {1: (3, 0x2), 2: (6, 0x2), 3: (7, 0x2)}
+_G4_HORIZ = (3, 0x1)
+_G4_PASS = (4, 0x1)
+
+
+class _MsbWriter:
+    """MSB-first bit writer (no byte stuffing — CCITT, unlike JPEG)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.out.append((self.acc >> (self.n - 8)) & 255)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def align(self) -> None:
+        if self.n:
+            self.write(0, 8 - self.n)
+
+    def flush(self) -> bytes:
+        self.align()
+        return bytes(self.out)
+
+
+class _MsbReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.bitpos = 0
+
+    def bit(self) -> int:
+        i = self.bitpos
+        self.bitpos += 1
+        byte = self.data[i >> 3] if (i >> 3) < len(self.data) else 0
+        return (byte >> (7 - (i & 7))) & 1
+
+    def align(self) -> None:
+        self.bitpos = (self.bitpos + 7) & ~7
+
+
+def _ccitt_emit(bw: "_MsbWriter", bc: tuple) -> None:
+    """Tables store (bits, code); the writer wants (code, length)."""
+    bits, code = bc
+    bw.write(code, bits)
+
+
+def _ccitt_write_run(bw: "_MsbWriter", run: int, table: dict) -> None:
+    while run >= 2624:                  # chain max makeups for wide rows
+        _ccitt_emit(bw, table[2560])
+        run -= 2560
+    if run >= 64:
+        makeup = (run // 64) * 64
+        _ccitt_emit(bw, table[makeup])
+        run -= makeup
+    _ccitt_emit(bw, table[run])
+
+
+def _ccitt_read_run(br: "_MsbReader", dec: dict) -> int:
+    total = 0
+    while True:
+        length, code = 0, 0
+        while length < 14:
+            code = (code << 1) | br.bit()
+            length += 1
+            if (length, code) in dec:
+                break
+        else:
+            raise ValueError("CCITT: invalid run code")
+        run = dec[(length, code)]
+        total += run
+        if run < 64:                    # terminating code ends the run
+            return total
+
+
+def _changes_of(row: np.ndarray) -> list[int]:
+    """Changing-element positions of a bilevel row (True = black);
+    position 0's imaginary predecessor is white (T.4 4.2.1.3.1)."""
+    prev = np.concatenate(([False], row[:-1]))
+    return np.nonzero(row != prev)[0].tolist()
+
+
+def _g3_encode(black: np.ndarray) -> bytes:
+    """T.4 one-dimensional Modified Huffman, TIFF compression 2 flavor:
+    no EOLs, every row starts byte-aligned."""
+    h, w = black.shape
+    bw = _MsbWriter()
+    for y in range(h):
+        changes = _changes_of(black[y]) + [w]
+        pos, color = 0, 0               # 0 = white run first (may be 0)
+        i = 0
+        while pos < w:
+            nxt = changes[i] if i < len(changes) else w
+            _ccitt_write_run(bw, nxt - pos,
+                             _CCITT_WHITE_ALL if color == 0
+                             else _CCITT_BLACK_ALL)
+            pos, color, i = nxt, 1 - color, i + 1
+        bw.align()
+    return bw.flush()
+
+
+def _g3_decode(data: bytes, h: int, w: int) -> bytes:
+    """Inverse of _g3_encode -> packed rows (bit 1 = black),
+    byte-aligned per row like the strip layout expects."""
+    br = _MsbReader(data)
+    row_bytes = -(-w // 8)
+    out = np.zeros((h, row_bytes * 8), dtype=bool)
+    for y in range(h):
+        pos, color = 0, 0
+        while pos < w:
+            run = _ccitt_read_run(
+                br, _CCITT_WHITE_DEC if color == 0 else _CCITT_BLACK_DEC)
+            if pos + run > w:
+                raise ValueError("CCITT: run overflows row")
+            if color:
+                out[y, pos:pos + run] = True
+            pos += run
+            color = 1 - color
+        br.align()
+    return np.packbits(out, axis=1).tobytes()
+
+
+def _g4_b1_index(ref: list[int], a0: int, color: int) -> int:
+    """Index into ref of b1: first changing element > a0 whose
+    transition color is opposite to the coding color (even index =
+    white->black transition, odd = black->white)."""
+    i = bisect.bisect_right(ref, a0)
+    if (i & 1) != color:                # need transition TO opposite of
+        i += 1                          # `color`, i.e. parity == color
+    return i
+
+
+def _g4_encode(black: np.ndarray) -> bytes:
+    """T.6 MMR (TIFF compression 4): every line coded against the
+    previous one (imaginary all-white line above the first); pass /
+    horizontal / vertical modes, no EOFB (TIFF strips carry the row
+    count)."""
+    h, w = black.shape
+    bw = _MsbWriter()
+    ref: list[int] = []                 # all-white reference line
+    for y in range(h):
+        cur = _changes_of(black[y])
+        a0, color = -1, 0
+        while a0 < w:
+            i = _g4_b1_index(ref, a0, color)
+            b1 = ref[i] if i < len(ref) else w
+            b2 = ref[i + 1] if i + 1 < len(ref) else w
+            j = bisect.bisect_right(cur, a0)
+            a1 = cur[j] if j < len(cur) else w
+            if b2 < a1:                               # pass mode
+                _ccitt_emit(bw, _G4_PASS)
+                a0 = b2
+            elif abs(a1 - b1) <= 3:                   # vertical mode
+                d = a1 - b1
+                if d == 0:
+                    _ccitt_emit(bw, _G4_V0)
+                elif d > 0:
+                    _ccitt_emit(bw, _G4_VR[d])
+                else:
+                    _ccitt_emit(bw, _G4_VL[-d])
+                a0, color = a1, 1 - color
+            else:                                     # horizontal mode
+                a2 = cur[j + 1] if j + 1 < len(cur) else w
+                _ccitt_emit(bw, _G4_HORIZ)
+                start = max(a0, 0)
+                _ccitt_write_run(bw, a1 - start,
+                                 _CCITT_WHITE_ALL if color == 0
+                                 else _CCITT_BLACK_ALL)
+                _ccitt_write_run(bw, a2 - a1,
+                                 _CCITT_BLACK_ALL if color == 0
+                                 else _CCITT_WHITE_ALL)
+                a0 = a2
+        ref = cur
+    return bw.flush()
+
+
+def _g4_decode(data: bytes, h: int, w: int) -> bytes:
+    """Inverse of _g4_encode -> packed rows (bit 1 = black)."""
+    br = _MsbReader(data)
+    row_bytes = -(-w // 8)
+    out = np.zeros((h, row_bytes * 8), dtype=bool)
+    ref: list[int] = []
+    for y in range(h):
+        cur: list[int] = []
+        a0, color = -1, 0
+        while a0 < w:
+            i = _g4_b1_index(ref, a0, color)
+            b1 = ref[i] if i < len(ref) else w
+            b2 = ref[i + 1] if i + 1 < len(ref) else w
+            if br.bit():                              # 1 -> V0
+                a1 = b1
+                cur.append(a1)
+                a0, color = a1, 1 - color
+                continue
+            if br.bit():                              # 01x -> V(L/R)1
+                a1 = b1 + 1 if br.bit() else b1 - 1
+                cur.append(a1)
+                a0, color = a1, 1 - color
+                continue
+            if br.bit():                              # 001 -> horizontal
+                start = max(a0, 0)
+                r1 = _ccitt_read_run(
+                    br, _CCITT_WHITE_DEC if color == 0
+                    else _CCITT_BLACK_DEC)
+                r2 = _ccitt_read_run(
+                    br, _CCITT_BLACK_DEC if color == 0
+                    else _CCITT_WHITE_DEC)
+                a1, a2 = start + r1, start + r1 + r2
+                cur.extend((a1, a2))
+                a0 = a2
+                continue
+            if br.bit():                              # 0001 -> pass
+                a0 = b2
+                continue
+            if br.bit():                              # 00001 1x -> V(L/R)2
+                a1 = b1 + 2 if br.bit() else b1 - 2
+            elif br.bit():                            # 000001 1x -> V(L/R)3
+                a1 = b1 + 3 if br.bit() else b1 - 3
+            else:
+                raise ValueError("CCITT G4: invalid mode code")
+            cur.append(a1)
+            a0, color = a1, 1 - color
+        for k in range(0, len(cur) - 1, 2):           # paint black runs
+            out[y, cur[k]:cur[k + 1]] = True
+        if len(cur) % 2:
+            out[y, cur[-1]:w] = True
+        # the encoder's reference line holds TRUE transitions only — a
+        # sentinel a1 == w from a line-ending vertical/horizontal code
+        # is not one; keep both sides' b1 arithmetic identical
+        ref = [c for c in cur if c < w]
+    return np.packbits(out, axis=1).tobytes()
+
+
+_TIFF_COMPRESSION = {"none": 1, "g3": 2, "g4": 4, "lzw": 5, "deflate": 8,
+                     "packbits": 32773}
 
 
 def encode_tiff(img: np.ndarray, packbits: bool = False,
@@ -398,7 +714,19 @@ def encode_tiff(img: np.ndarray, packbits: bool = False,
         rows = np.repeat(img, 2, axis=1)    # little-endian v*257
     else:
         rows = img.reshape(h, w * bands)
-    if compression == "packbits":
+    rows_per_strip = 1
+    if compression in ("g3", "g4"):
+        # CCITT coding: bilevel only, bit 1 = black under the fax
+        # convention, so the file declares WhiteIsZero (photometric 0)
+        if bits != 1:
+            raise ValueError("TIFF g3/g4 compression requires bits=1")
+        black = img < 128               # True = black ink
+        if compression == "g3":
+            strips = [_g3_encode(black[y:y + 1]) for y in range(h)]
+        else:                           # g4: one stateful strip
+            strips = [_g4_encode(black)]
+            rows_per_strip = h
+    elif compression == "packbits":
         strips = [packbits_encode(rows[y]) for y in range(h)]
     elif compression == "lzw":
         strips = [_tiff_lzw_encode(rows[y].tobytes()) for y in range(h)]
@@ -407,8 +735,9 @@ def encode_tiff(img: np.ndarray, packbits: bool = False,
         strips = [zlib.compress(rows[y].tobytes()) for y in range(h)]
     else:
         strips = [rows[y].tobytes() for y in range(h)]
+    n_strips = len(strips)
     compression = _TIFF_COMPRESSION[compression]
-    photometric = 1 if bands == 1 else 2
+    photometric = 0 if compression in (2, 4) else (1 if bands == 1 else 2)
 
     # layout: header(8) | IFD | [bits array if bands==3] | [x/y rational
     #         if dpi] | strip offsets | strip counts | pixel data
@@ -420,8 +749,8 @@ def encode_tiff(img: np.ndarray, packbits: bool = False,
     rat_off = bits_off + bits_extra
     rat_extra = 16 if dpi else 0        # two 8-byte RATIONALs
     so_off = rat_off + rat_extra
-    sc_off = so_off + 4 * h
-    data_off = sc_off + 4 * h
+    sc_off = so_off + 4 * n_strips
+    data_off = sc_off + 4 * n_strips
     offsets, pos = [], data_off
     for s in strips:
         offsets.append(pos)
@@ -441,11 +770,12 @@ def encode_tiff(img: np.ndarray, packbits: bool = False,
         entry(262, 3, 1, photometric),
         # count*size <= 4 => the value field holds the value ITSELF, not a
         # pointer (TIFF spec); single-strip files hit this path
-        (entry(273, 4, 1, offsets[0]) if h == 1 else entry(273, 4, h, so_off)),
+        (entry(273, 4, 1, offsets[0]) if n_strips == 1
+         else entry(273, 4, n_strips, so_off)),
         entry(277, 3, 1, bands),
-        entry(278, 4, 1, 1),
-        (entry(279, 4, 1, len(strips[0])) if h == 1
-         else entry(279, 4, h, sc_off)),
+        entry(278, 4, 1, rows_per_strip),
+        (entry(279, 4, 1, len(strips[0])) if n_strips == 1
+         else entry(279, 4, n_strips, sc_off)),
     ]
     if dpi:        # tags stay ascending: 282 < 283 < 296 < 317
         entries.append(entry(282, 5, 1, rat_off))       # XResolution
@@ -463,8 +793,8 @@ def encode_tiff(img: np.ndarray, packbits: bool = False,
         out += struct.pack("<HHH", 8, 8, 8)
     if dpi:
         out += struct.pack("<IIII", int(dpi), 1, int(dpi), 1)
-    out += struct.pack(f"<{h}I", *offsets)
-    out += struct.pack(f"<{h}I", *[len(s) for s in strips])
+    out += struct.pack(f"<{n_strips}I", *offsets)
+    out += struct.pack(f"<{n_strips}I", *[len(s) for s in strips])
     for s in strips:
         out += s
     return bytes(out)
@@ -513,10 +843,12 @@ def _decode_tiff_ifd(data: bytes, endian: str, ifd_off: int) -> np.ndarray:
         raise NotImplementedError(
             f"TIFF bits-per-sample {bps} x {bands} bands unsupported "
             "(1/4/8/16 single-band, 8-bit multi-band)")
-    if compression not in (1, 5, 8, 32773, 32946):
+    if compression not in (1, 2, 4, 5, 8, 32773, 32946):
         raise NotImplementedError(
             f"TIFF compression {compression} unsupported "
-            "(none/LZW/DEFLATE/PackBits only)")
+            "(none/CCITT G3/G4/LZW/DEFLATE/PackBits only)")
+    if compression in (2, 4) and (bps != 1 or bands != 1):
+        raise ValueError("TIFF CCITT compression requires 1-bit 1-band")
     predictor = tags.get("predictor", [1])[0]
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor} unsupported "
@@ -536,6 +868,10 @@ def _decode_tiff_ifd(data: bytes, endian: str, ifd_off: int) -> np.ndarray:
         elif compression in (8, 32946):   # Adobe / legacy DEFLATE
             import zlib
             raw = zlib.decompress(raw)
+        elif compression == 2:            # CCITT G3 1-D (MH, no EOLs)
+            raw = _g3_decode(raw, n_rows, w)
+        elif compression == 4:            # CCITT G4 (T.6 MMR)
+            raw = _g4_decode(raw, n_rows, w)
         chunks.append(np.frombuffer(raw, dtype=np.uint8,
                                     count=n_rows * row_bytes))
     px = np.concatenate(chunks)

@@ -249,6 +249,92 @@ class TestTiffBits:
                         bits=1)
 
 
+# -- CCITT G3/G4 -------------------------------------------------------------
+
+class TestCcitt:
+    @pytest.mark.parametrize("compression", ["g3", "g4"])
+    @pytest.mark.parametrize("shape", [(1, 1), (3, 7), (15, 21), (64, 100),
+                                       (5, 2700)])
+    def test_random_bilevel_roundtrip(self, shape, compression):
+        """Random noise is the fax-codec worst case: every mode fires
+        (G4 horizontal dominates), runs are short, wide rows chain
+        makeup codes."""
+        rng = np.random.default_rng(sum(shape))
+        img = (rng.random(shape) > 0.5).astype(np.uint8) * 255
+        out = decode_tiff(encode_tiff(img, compression=compression,
+                                      bits=1))
+        assert np.array_equal(out, img)
+
+    @pytest.mark.parametrize("compression", ["g3", "g4"])
+    def test_page_fixture_roundtrip(self, compression):
+        from org_dharts_dia_tesseract_spark.datagen import fixture_page
+        pg = (fixture_page("simple_poetry") >= 128).astype(np.uint8) * 255
+        out = decode_tiff(encode_tiff(pg, compression=compression,
+                                      bits=1))
+        assert np.array_equal(out, pg)
+
+    @pytest.mark.parametrize("compression", ["g3", "g4"])
+    @pytest.mark.parametrize("value", [0, 255])
+    def test_constant_pages(self, compression, value):
+        img = np.full((9, 13), value, dtype=np.uint8)
+        out = decode_tiff(encode_tiff(img, compression=compression,
+                                      bits=1))
+        assert np.array_equal(out, img)
+
+    def test_vertical_pass_modes_fire(self):
+        """Slightly shifting edges line-over-line exercises every G4
+        vertical offset and the pass mode."""
+        img = np.full((40, 60), 255, dtype=np.uint8)
+        for y in range(40):
+            x0 = 10 + (y * 3) % 7       # drifts -3..+3 per line
+            img[y, x0:x0 + 20] = 0
+            if y % 5 == 0:
+                img[y, 40:45] = 0       # extra run that comes and goes
+        out = decode_tiff(encode_tiff(img, compression="g4", bits=1))
+        assert np.array_equal(out, img)
+
+    def test_g4_beats_packbits_on_text(self):
+        """The reason G4 exists: scanned text compresses far better
+        under 2-D coding than byte-run coding."""
+        from org_dharts_dia_tesseract_spark.datagen import fixture_page
+        pg = (fixture_page("simple_poetry") >= 128).astype(np.uint8) * 255
+        g4 = len(encode_tiff(pg, compression="g4", bits=1))
+        pb = len(encode_tiff(pg, compression="packbits", bits=1))
+        assert g4 < pb * 0.75
+
+    def test_tables_prefix_free(self):
+        """Internal consistency bar (no external CCITT stream exists in
+        this sandbox): the run tables must be prefix-free, else decode
+        would mis-parse self-produced streams."""
+        from org_dharts_dia_tesseract_spark.codecs_img import (
+            _CCITT_BLACK_ALL, _CCITT_WHITE_ALL)
+        for table in (_CCITT_WHITE_ALL, _CCITT_BLACK_ALL):
+            codes = [format(code, f"0{bits}b")
+                     for bits, code in table.values()]
+            assert len(set(codes)) == len(codes)
+            for a in codes:
+                for b in codes:
+                    assert a == b or not b.startswith(a)
+
+    def test_rejections(self):
+        with pytest.raises(ValueError, match="bits=1"):
+            encode_tiff(_img((4, 4)), compression="g4")
+        with pytest.raises(ValueError, match="bits=1"):
+            encode_tiff(_img((4, 4)), compression="g3", bits=4)
+
+    def test_hypothesis_like_sweep(self):
+        rng = np.random.default_rng(99)
+        for _ in range(25):
+            h = int(rng.integers(1, 12))
+            w = int(rng.integers(1, 80))
+            p = rng.random()
+            img = (rng.random((h, w)) > p).astype(np.uint8) * 255
+            for comp in ("g3", "g4"):
+                out = decode_tiff(encode_tiff(img, compression=comp,
+                                              bits=1))
+                assert np.array_equal(out, img), (h, w, p, comp)
+
+
 # -- GIF color ---------------------------------------------------------------
 
 class TestGifColor:
