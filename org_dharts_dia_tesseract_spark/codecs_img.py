@@ -4,15 +4,20 @@ Rebuilds the reference's full ImageIO decode surface
 (ImageIOHelper.java:263-327 decodes TIFF/JPEG/GIF/PNG/BMP/PNM/JP2 via
 javax.imageio) without an imaging library:
 uncompressed BMP (8-bit greyscale palette + 24-bit BGR), binary/ASCII PNM
-(P2/P3/P5/P6), TIFF (single or multi strip, compression none=1, LZW=5
-with the MSB-first early-change convention, Adobe/legacy DEFLATE=8/32946
-via stdlib zlib, or PackBits=32773; horizontal Predictor tag 317, grey or
-RGB), PNG (8-bit grey/RGB, zlib IDAT, all five scanline filters),
-GIF 87a/89a (8-bit palette, real variable-width LZW in both directions,
-interlace on decode), baseline greyscale JPEG (real Huffman + 8x8
-DCT; the one LOSSY codec — see its section), and JPEG 2000 (codecs_jp2:
-MQ arithmetic coder + EBCOT three-pass code-blocks + reversible 5/3
-wavelet; LOSSLESS). PDF — which the reference rejects
+(P2/P3/P5/P6, maxval to 65535), TIFF (single or multi strip, compression
+none=1, CCITT G3=2 / G4=4 fax coding, LZW=5 with the MSB-first
+early-change convention, Adobe/legacy DEFLATE=8/32946 via stdlib zlib,
+or PackBits=32773; horizontal Predictor tag 317; 1/4/8/16 bits per
+sample single-band, 8-bit grey or RGB), PNG (grey 1/2/4/8/16-bit, RGB
+8/16, palette with tRNS, grey+alpha/RGBA composited over white, Adam7
+interlace, zlib IDAT, all five scanline filters), GIF 87a/89a (8-bit
+palette incl. exact-palette RGB encode, real variable-width LZW in both
+directions, interlace on decode), JPEG — baseline SOF0/SOF1 and
+PROGRESSIVE SOF2 (spectral selection + successive approximation),
+greyscale and YCbCr color on any integer sampling grid (the one LOSSY
+codec — see its section) — and JPEG 2000 (codecs_jp2: MQ arithmetic
+coder + EBCOT three-pass code-blocks + reversible 5/3 wavelet;
+LOSSLESS). PDF — which the reference rejects
 (ImageIOHelper.java:278-282) — is handled by codecs_pdf (FlateDecode /
 DCTDecode image XObjects + a Tj/TJ text layer) and registered here.
 
