@@ -310,6 +310,21 @@ def _ocr_spans_tiff_g4_media(spark: SparkSession,
                                               tiff_bits=1))
 
 
+def _ocr_spans_pdf_g4_media(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Span extraction over SCANNED-PDF payloads: pages embedded as
+    CCITT Group 4 fax streams (/CCITTFaxDecode, K=-1) — the archival
+    form real scanned PDFs use (~7x smaller than Flate on text pages).
+    Threshold-128 matches the bilevel TIFF chain, so the expectation is
+    the bilevel twin's (scripts/gen_expected.py:_bilevel_span_rows)."""
+    from org_dharts_dia_tesseract_spark.operators import extract_spans
+    from org_dharts_dia_tesseract_spark.operators.multimodal import \
+        reencode_media
+    docs, media = _interleaved_corpus(spark, sf_dir, 200)
+    return extract_spans(docs, reencode_media(media, "pdf",
+                                              pdf_ccitt=True))
+
+
 def _pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF text-layer parse: render each document's text spans as a
     Tj-stream PDF (sink), then parse the shown strings back out
@@ -347,6 +362,7 @@ _PRIORITY = [
     "ocr_dpi_font_attrs", "ocr_spans_jpeg_color_media",
     "ocr_spans_jpeg_prog_media", "ocr_spans_png_palette_media",
     "ocr_spans_tiff_bilevel_media", "ocr_spans_tiff_g4_media",
+    "ocr_spans_pdf_g4_media",
     # (1) last driver-green in round 1
     "json_props_extract", "array_component_stats",
     # (2) last driver-green in round 2
@@ -398,6 +414,7 @@ _RASTER_GATES = {
     "ocr_spans_png_palette_media": _ocr_spans_png_palette_media,
     "ocr_spans_tiff_bilevel_media": _ocr_spans_tiff_bilevel_media,
     "ocr_spans_tiff_g4_media": _ocr_spans_tiff_g4_media,
+    "ocr_spans_pdf_g4_media": _ocr_spans_pdf_g4_media,
     "ocr_spans_jp2_media": _ocr_spans_jp2_media,
     "ocr_spans_pdf_media": _ocr_spans_pdf_media,
     "pdf_text_extract": _pdf_text_extract,

@@ -81,10 +81,12 @@ def _page_objects(w: int, h: int, resources: bytes,
 # scanned-page layer: image XObject embed / extract
 # ---------------------------------------------------------------------------
 
-def encode_pdf(img: np.ndarray) -> bytes:
-    """Single-page PDF with the image as a full-bleed FlateDecode
-    XObject. Deterministic for a given zlib build (the OCR gates compare
-    spans, not payload bytes)."""
+def encode_pdf(img: np.ndarray, ccitt: bool = False) -> bytes:
+    """Single-page PDF with the image as a full-bleed XObject —
+    FlateDecode 8-bit by default; ``ccitt=True`` embeds a 1-band image
+    as a CCITT Group 4 fax stream (/CCITTFaxDecode, K=-1, BlackIs1,
+    threshold 128 — the scanned-PDF archival form). Deterministic for a
+    given zlib build (the OCR gates compare spans, not payload bytes)."""
     if img.dtype != np.uint8:
         raise ValueError("PDF image encoder takes uint8 arrays")
     if img.ndim == 2:
@@ -95,12 +97,25 @@ def encode_pdf(img: np.ndarray) -> bytes:
         cs = b"/DeviceRGB"
     else:
         raise ValueError(f"unsupported image shape {img.shape}")
-    pixels = zlib.compress(np.ascontiguousarray(img).tobytes(), 6)
+    if ccitt:
+        if img.ndim != 2:
+            raise ValueError("PDF CCITT embed is 1-band only")
+        from .codecs_img import _g4_encode   # lazy: avoids cycle
+        pixels = _g4_encode(img < 128)
+        # BlackIs1 stays at its default (false): decoded black = sample
+        # 0 = DeviceGray ink, the form real viewers display correctly
+        image_obj = _stream_obj(
+            b"/Type /XObject /Subtype /Image /Width %d /Height %d "
+            b"/ColorSpace /DeviceGray /BitsPerComponent 1 "
+            b"/Filter /CCITTFaxDecode /DecodeParms << /K -1 /Columns %d "
+            b"/Rows %d >>" % (w, h, w, h), pixels)
+    else:
+        pixels = zlib.compress(np.ascontiguousarray(img).tobytes(), 6)
+        image_obj = _stream_obj(
+            b"/Type /XObject /Subtype /Image /Width %d /Height %d "
+            b"/ColorSpace %s /BitsPerComponent 8 /Filter /FlateDecode"
+            % (w, h, cs), pixels)
     content = zlib.compress(b"q %d 0 0 %d 0 0 cm /Im0 Do Q" % (w, h), 6)
-    image_obj = _stream_obj(
-        b"/Type /XObject /Subtype /Image /Width %d /Height %d "
-        b"/ColorSpace %s /BitsPerComponent 8 /Filter /FlateDecode"
-        % (w, h, cs), pixels)
     objs = _page_objects(w, h, b"/XObject << /Im0 4 0 R >>", [image_obj])
     objs.append(_stream_obj(b"/Filter /FlateDecode", content))
     return _assemble(objs)
@@ -149,14 +164,30 @@ def decode_pdf(payload: bytes) -> np.ndarray:
             continue
         w = int(_INT_KEY[b"Width"].search(body).group(1))
         h = int(_INT_KEY[b"Height"].search(body).group(1))
+        data = _stream_of(body, objects)
+        if data is None:
+            raise ValueError("PDF image XObject has no stream")
+        if b"/CCITTFaxDecode" in body:
+            from .codecs_img import _g4_decode    # lazy: avoids cycle
+            k_m = re.search(rb"/K\s+(-?\d+)", body)
+            if k_m is None or int(k_m.group(1)) >= 0:
+                raise NotImplementedError(
+                    "PDF CCITTFaxDecode K >= 0 (Group 3) unsupported "
+                    "(pure Group 4 / K < 0 only)")
+            cols_m = re.search(rb"/Columns\s+(\d+)", body)
+            cols = int(cols_m.group(1)) if cols_m else 1728
+            packed = np.frombuffer(_g4_decode(data, h, cols),
+                                   dtype=np.uint8)
+            bits = np.unpackbits(packed.reshape(h, -1), axis=1)[:, :w]
+            # CCITT black is ink: return 0 where the fax stream coded
+            # black (the BlackIs1/Decode sample-inversion subtleties
+            # cancel in every correctly-displaying file)
+            return ((1 - bits) * 255).astype(np.uint8)
         bpc_m = _INT_KEY[b"BitsPerComponent"].search(body)
         if bpc_m and int(bpc_m.group(1)) != 8:
             raise NotImplementedError(
                 f"PDF image BitsPerComponent {int(bpc_m.group(1))} "
-                "unsupported (8 only)")
-        data = _stream_of(body, objects)
-        if data is None:
-            raise ValueError("PDF image XObject has no stream")
+                "unsupported (8 for Flate/DCT; 1 via CCITTFaxDecode)")
         if b"/DCTDecode" in body:
             from .codecs_img import decode_jpeg   # lazy: avoids cycle
             return decode_jpeg(data)

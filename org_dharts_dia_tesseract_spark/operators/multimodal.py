@@ -90,7 +90,8 @@ def reencode_media(media: DataFrame, codec: str,
                    jpeg_progressive: bool = False,
                    png_palette: bool = False,
                    png_interlace: bool = False,
-                   tiff_bits: int = 8) -> DataFrame:
+                   tiff_bits: int = 8,
+                   pdf_ccitt: bool = False) -> DataFrame:
     """Re-encode raw media payloads with a real codec —
     the inverse of decode, used as a sink format and to drive the codec
     decode path end-to-end through the OCR pipeline. mapInPandas per
@@ -123,6 +124,8 @@ def reencode_media(media: DataFrame, codec: str,
                     enc = ENCODERS["png"](img, dpi=dpi,
                                           palette=png_palette,
                                           interlace=png_interlace)
+                elif codec == "pdf" and pdf_ccitt:
+                    enc = ENCODERS["pdf"](img, ccitt=True)
                 elif dpi:
                     enc = ENCODERS[codec](img, dpi=dpi)
                 else:

@@ -492,8 +492,10 @@ def main() -> None:
     write("ocr_spans_png_palette_media", _spans_table(spans_200))
     bilevel = _spans_table(_bilevel_span_rows(corpus, CAP_MEDIA))
     write("ocr_spans_tiff_bilevel_media", bilevel)
-    # G4 is lossless over the thresholded image -> same expectation
+    # G4 TIFF and CCITT-in-PDF are lossless over the same thresholded
+    # image -> same expectation
     write("ocr_spans_tiff_g4_media", bilevel)
+    write("ocr_spans_pdf_g4_media", bilevel)
     write("ocr_spans_jp2_media", _spans_table(spans_200))
     write("ocr_spans_pdf_media", _spans_table(spans_200))
     write("pdf_text_extract", _pdf_text_table(corpus, CAP_MEDIA))

@@ -335,6 +335,40 @@ class TestCcitt:
                 assert np.array_equal(out, img), (h, w, p, comp)
 
 
+# -- scanned PDF (CCITTFaxDecode) ---------------------------------------------
+
+class TestPdfCcitt:
+    def test_roundtrip_page_and_noise(self):
+        from org_dharts_dia_tesseract_spark.codecs_pdf import (decode_pdf,
+                                                               encode_pdf)
+        from org_dharts_dia_tesseract_spark.datagen import fixture_page
+        img = fixture_page("simple_poetry")
+        bil = (img >= 128).astype(np.uint8) * 255
+        assert np.array_equal(decode_pdf(encode_pdf(img, ccitt=True)), bil)
+        rng = np.random.default_rng(81)
+        noise = (rng.random((17, 31)) > 0.5).astype(np.uint8) * 255
+        assert np.array_equal(decode_pdf(encode_pdf(noise, ccitt=True)),
+                              noise)
+
+    def test_g4_pdf_much_smaller_than_flate(self):
+        from org_dharts_dia_tesseract_spark.codecs_pdf import encode_pdf
+        from org_dharts_dia_tesseract_spark.datagen import fixture_page
+        img = fixture_page("simple_poetry")
+        assert len(encode_pdf(img, ccitt=True)) < len(encode_pdf(img)) / 4
+
+    def test_g3_k_nonnegative_rejected(self):
+        from org_dharts_dia_tesseract_spark.codecs_pdf import (decode_pdf,
+                                                               encode_pdf)
+        blob = encode_pdf(np.zeros((4, 4), dtype=np.uint8), ccitt=True)
+        with pytest.raises(NotImplementedError, match="K >= 0"):
+            decode_pdf(blob.replace(b"/K -1", b"/K 0"))
+
+    def test_color_rejected(self):
+        from org_dharts_dia_tesseract_spark.codecs_pdf import encode_pdf
+        with pytest.raises(ValueError, match="1-band"):
+            encode_pdf(_img((4, 4, 3)), ccitt=True)
+
+
 # -- GIF color ---------------------------------------------------------------
 
 class TestGifColor:
