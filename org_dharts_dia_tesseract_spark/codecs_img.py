@@ -208,7 +208,7 @@ def decode_pnm(data: bytes) -> np.ndarray:
 _TIFF_TAGS = {256: "width", 257: "height", 258: "bits", 259: "compression",
               262: "photometric", 273: "strip_offsets", 277: "samples",
               278: "rows_per_strip", 279: "strip_counts",
-              317: "predictor"}
+              292: "t4options", 317: "predictor"}
 _TYPE_SIZE = {1: 1, 3: 2, 4: 4}
 
 
@@ -509,12 +509,19 @@ def _changes_of(row: np.ndarray) -> list[int]:
     return np.nonzero(row != prev)[0].tolist()
 
 
-def _g3_encode(black: np.ndarray) -> bytes:
-    """T.4 one-dimensional Modified Huffman, TIFF compression 2 flavor:
-    no EOLs, every row starts byte-aligned."""
+def _g3_encode(black: np.ndarray, align: bool = True,
+               eol: bool = False) -> bytes:
+    """T.4 one-dimensional Modified Huffman. Three wire flavors share
+    the run coding: TIFF compression 2 (align=True: no EOLs, every row
+    byte-aligned), classic G3 / TIFF compression 3 (eol=True: EOL
+    000000000001 before every line, no alignment), and PDF
+    CCITTFaxDecode K=0 defaults (align=False, eol=False: a bare
+    unaligned run stream)."""
     h, w = black.shape
     bw = _MsbWriter()
     for y in range(h):
+        if eol:
+            bw.write(0x001, 12)         # EOL
         changes = _changes_of(black[y]) + [w]
         pos, color = 0, 0               # 0 = white run first (may be 0)
         i = 0
@@ -524,17 +531,30 @@ def _g3_encode(black: np.ndarray) -> bytes:
                              _CCITT_WHITE_ALL if color == 0
                              else _CCITT_BLACK_ALL)
             pos, color, i = nxt, 1 - color, i + 1
-        bw.align()
+        if align:
+            bw.align()
     return bw.flush()
 
 
-def _g3_decode(data: bytes, h: int, w: int) -> bytes:
-    """Inverse of _g3_encode -> packed rows (bit 1 = black),
-    byte-aligned per row like the strip layout expects."""
+def _g3_decode(data: bytes, h: int, w: int, align: bool = True,
+               eol: bool = False) -> bytes:
+    """Inverse of _g3_encode -> packed rows (bit 1 = black). With
+    eol=True, fill bits before each EOL are tolerated (T.4 4.1.2)."""
     br = _MsbReader(data)
     row_bytes = -(-w // 8)
     out = np.zeros((h, row_bytes * 8), dtype=bool)
     for y in range(h):
+        if eol:
+            zeros = 0                   # fill zeros then 000000000001
+            while True:
+                b = br.bit()
+                if b:
+                    break
+                zeros += 1
+                if zeros > 64 + 11:
+                    raise ValueError("CCITT G3: EOL not found")
+            if zeros < 11:
+                raise ValueError("CCITT G3: malformed EOL")
         pos, color = 0, 0
         while pos < w:
             run = _ccitt_read_run(
@@ -545,7 +565,8 @@ def _g3_decode(data: bytes, h: int, w: int) -> bytes:
                 out[y, pos:pos + run] = True
             pos += run
             color = 1 - color
-        br.align()
+        if align:
+            br.align()
     return np.packbits(out, axis=1).tobytes()
 
 
@@ -660,8 +681,8 @@ def _g4_decode(data: bytes, h: int, w: int) -> bytes:
     return np.packbits(out, axis=1).tobytes()
 
 
-_TIFF_COMPRESSION = {"none": 1, "g3": 2, "g4": 4, "lzw": 5, "deflate": 8,
-                     "packbits": 32773}
+_TIFF_COMPRESSION = {"none": 1, "g3": 2, "t4": 3, "g4": 4, "lzw": 5,
+                     "deflate": 8, "packbits": 32773}
 
 
 def encode_tiff(img: np.ndarray, packbits: bool = False,
@@ -720,14 +741,17 @@ def encode_tiff(img: np.ndarray, packbits: bool = False,
     else:
         rows = img.reshape(h, w * bands)
     rows_per_strip = 1
-    if compression in ("g3", "g4"):
+    if compression in ("g3", "t4", "g4"):
         # CCITT coding: bilevel only, bit 1 = black under the fax
         # convention, so the file declares WhiteIsZero (photometric 0)
         if bits != 1:
-            raise ValueError("TIFF g3/g4 compression requires bits=1")
+            raise ValueError("TIFF g3/t4/g4 compression requires bits=1")
         black = img < 128               # True = black ink
-        if compression == "g3":
+        if compression == "g3":         # compression 2: aligned rows
             strips = [_g3_encode(black[y:y + 1]) for y in range(h)]
+        elif compression == "t4":       # compression 3: EOL-prefixed
+            strips = [_g3_encode(black, align=False, eol=True)]
+            rows_per_strip = h
         else:                           # g4: one stateful strip
             strips = [_g4_encode(black)]
             rows_per_strip = h
@@ -742,7 +766,8 @@ def encode_tiff(img: np.ndarray, packbits: bool = False,
         strips = [rows[y].tobytes() for y in range(h)]
     n_strips = len(strips)
     compression = _TIFF_COMPRESSION[compression]
-    photometric = 0 if compression in (2, 4) else (1 if bands == 1 else 2)
+    photometric = (0 if compression in (2, 3, 4)
+                   else (1 if bands == 1 else 2))
 
     # layout: header(8) | IFD | [bits array if bands==3] | [x/y rational
     #         if dpi] | strip offsets | strip counts | pixel data
@@ -848,12 +873,15 @@ def _decode_tiff_ifd(data: bytes, endian: str, ifd_off: int) -> np.ndarray:
         raise NotImplementedError(
             f"TIFF bits-per-sample {bps} x {bands} bands unsupported "
             "(1/4/8/16 single-band, 8-bit multi-band)")
-    if compression not in (1, 2, 4, 5, 8, 32773, 32946):
+    if compression not in (1, 2, 3, 4, 5, 8, 32773, 32946):
         raise NotImplementedError(
             f"TIFF compression {compression} unsupported "
-            "(none/CCITT G3/G4/LZW/DEFLATE/PackBits only)")
-    if compression in (2, 4) and (bps != 1 or bands != 1):
+            "(none/CCITT G3/T4/G4/LZW/DEFLATE/PackBits only)")
+    if compression in (2, 3, 4) and (bps != 1 or bands != 1):
         raise ValueError("TIFF CCITT compression requires 1-bit 1-band")
+    if compression == 3 and tags.get("t4options", [0])[0] & 1:
+        raise NotImplementedError("TIFF T.4 2-D (T4Options bit 0) "
+                                  "unsupported (1-D EOL lines only)")
     predictor = tags.get("predictor", [1])[0]
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor} unsupported "
@@ -875,6 +903,8 @@ def _decode_tiff_ifd(data: bytes, endian: str, ifd_off: int) -> np.ndarray:
             raw = zlib.decompress(raw)
         elif compression == 2:            # CCITT G3 1-D (MH, no EOLs)
             raw = _g3_decode(raw, n_rows, w)
+        elif compression == 3:            # T.4 1-D, EOL-prefixed lines
+            raw = _g3_decode(raw, n_rows, w, align=False, eol=True)
         elif compression == 4:            # CCITT G4 (T.6 MMR)
             raw = _g4_decode(raw, n_rows, w)
         chunks.append(np.frombuffer(raw, dtype=np.uint8,

@@ -84,9 +84,9 @@ def _page_objects(w: int, h: int, resources: bytes,
 def encode_pdf(img: np.ndarray, ccitt: bool = False) -> bytes:
     """Single-page PDF with the image as a full-bleed XObject —
     FlateDecode 8-bit by default; ``ccitt=True`` embeds a 1-band image
-    as a CCITT Group 4 fax stream (/CCITTFaxDecode, K=-1, BlackIs1,
-    threshold 128 — the scanned-PDF archival form). Deterministic for a
-    given zlib build (the OCR gates compare spans, not payload bytes)."""
+    as a CCITT Group 4 fax stream (/CCITTFaxDecode, K=-1, threshold
+    128 — the scanned-PDF archival form). Deterministic for a given
+    zlib build (the OCR gates compare spans, not payload bytes)."""
     if img.dtype != np.uint8:
         raise ValueError("PDF image encoder takes uint8 arrays")
     if img.ndim == 2:
@@ -168,16 +168,24 @@ def decode_pdf(payload: bytes) -> np.ndarray:
         if data is None:
             raise ValueError("PDF image XObject has no stream")
         if b"/CCITTFaxDecode" in body:
-            from .codecs_img import _g4_decode    # lazy: avoids cycle
+            from .codecs_img import (_g3_decode,  # lazy: avoids cycle
+                                     _g4_decode)
             k_m = re.search(rb"/K\s+(-?\d+)", body)
-            if k_m is None or int(k_m.group(1)) >= 0:
-                raise NotImplementedError(
-                    "PDF CCITTFaxDecode K >= 0 (Group 3) unsupported "
-                    "(pure Group 4 / K < 0 only)")
+            k = int(k_m.group(1)) if k_m else 0
             cols_m = re.search(rb"/Columns\s+(\d+)", body)
             cols = int(cols_m.group(1)) if cols_m else 1728
-            packed = np.frombuffer(_g4_decode(data, h, cols),
-                                   dtype=np.uint8)
+            if k > 0:
+                raise NotImplementedError(
+                    "PDF CCITTFaxDecode K > 0 (mixed 1-D/2-D Group 3) "
+                    "unsupported (K < 0 pure G4 or K = 0 1-D only)")
+            if k < 0:
+                decoded = _g4_decode(data, h, cols)
+            else:                        # K = 0: T.4 1-D; PDF defaults
+                decoded = _g3_decode(    # are no EOLs, no byte align
+                    data, h, cols,
+                    align=b"/EncodedByteAlign true" in body,
+                    eol=b"/EndOfLine true" in body)
+            packed = np.frombuffer(decoded, dtype=np.uint8)
             bits = np.unpackbits(packed.reshape(h, -1), axis=1)[:, :w]
             # CCITT black is ink: return 0 where the fax stream coded
             # black (the BlackIs1/Decode sample-inversion subtleties

@@ -322,6 +322,57 @@ class TestCcitt:
         with pytest.raises(ValueError, match="bits=1"):
             encode_tiff(_img((4, 4)), compression="g3", bits=4)
 
+    @pytest.mark.parametrize("shape", [(1, 1), (7, 13), (40, 100)])
+    def test_t4_eol_variant_roundtrip(self, shape):
+        """TIFF compression 3: EOL-prefixed T.4 1-D lines in one
+        stateless-per-line strip (classic G3 wire form)."""
+        rng = np.random.default_rng(sum(shape) + 1)
+        img = (rng.random(shape) > 0.4).astype(np.uint8) * 255
+        out = decode_tiff(encode_tiff(img, compression="t4", bits=1))
+        assert np.array_equal(out, img)
+
+    def test_t4_2d_option_rejected(self):
+        """A foreign compression-3 file declaring T4Options bit 0
+        (2-D-coded lines) is refused, not mis-decoded as 1-D."""
+        import struct
+
+        def entry(tag, typ, count, value):
+            if typ == 3:
+                return struct.pack("<HHIHH", tag, typ, count, value, 0)
+            return struct.pack("<HHII", tag, typ, count, value)
+
+        entries = [entry(256, 4, 1, 2), entry(257, 4, 1, 1),
+                   entry(258, 3, 1, 1), entry(259, 3, 1, 3),
+                   entry(262, 3, 1, 0), entry(273, 4, 1, 134),
+                   entry(277, 3, 1, 1), entry(278, 4, 1, 1),
+                   entry(279, 4, 1, 2), entry(292, 4, 1, 1)]
+        blob = (struct.pack("<2sHI", b"II", 42, 8)
+                + struct.pack("<H", len(entries)) + b"".join(entries)
+                + struct.pack("<I", 0) + b"\x00\x10")
+        with pytest.raises(NotImplementedError, match="2-D"):
+            decode_tiff(blob)
+
+    def test_pdf_k0_bare_stream(self):
+        """PDF CCITTFaxDecode K=0 defaults: no EOLs, no byte alignment
+        — a bare T.4 1-D run stream."""
+        import re
+        from org_dharts_dia_tesseract_spark.codecs_img import _g3_encode
+        from org_dharts_dia_tesseract_spark.codecs_pdf import (decode_pdf,
+                                                               encode_pdf)
+        rng = np.random.default_rng(83)
+        img = (rng.random((23, 31)) > 0.5).astype(np.uint8) * 255
+        blob = encode_pdf(img, ccitt=True)
+        g3 = _g3_encode(img < 128, align=False, eol=False)
+        m = re.search(rb"/DecodeParms << /K -1 /Columns (\d+) /Rows "
+                      rb"(\d+) >> /Length (\d+) >>\nstream\n", blob)
+        start, end = m.span()
+        blob2 = (blob[:start]
+                 + b"/DecodeParms << /K 0 /Columns %d /Rows %d >> "
+                   b"/Length %d >>\nstream\n"
+                 % (img.shape[1], img.shape[0], len(g3))
+                 + g3 + blob[end + int(m.group(3)):])
+        assert np.array_equal(decode_pdf(blob2), img)
+
     def test_hypothesis_like_sweep(self):
         rng = np.random.default_rng(99)
         for _ in range(25):
@@ -356,12 +407,14 @@ class TestPdfCcitt:
         img = fixture_page("simple_poetry")
         assert len(encode_pdf(img, ccitt=True)) < len(encode_pdf(img)) / 4
 
-    def test_g3_k_nonnegative_rejected(self):
+    def test_mixed_mode_k_positive_rejected(self):
+        """K=0 (pure 1-D) decodes since round 4; K>0 (mixed 1-D/2-D
+        Group 3) stays rejected."""
         from org_dharts_dia_tesseract_spark.codecs_pdf import (decode_pdf,
                                                                encode_pdf)
         blob = encode_pdf(np.zeros((4, 4), dtype=np.uint8), ccitt=True)
-        with pytest.raises(NotImplementedError, match="K >= 0"):
-            decode_pdf(blob.replace(b"/K -1", b"/K 0"))
+        with pytest.raises(NotImplementedError, match="K > 0"):
+            decode_pdf(blob.replace(b"/K -1", b"/K 4"))
 
     def test_color_rejected(self):
         from org_dharts_dia_tesseract_spark.codecs_pdf import encode_pdf
