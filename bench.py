@@ -329,20 +329,36 @@ def _splice_md(result: dict, keep: str) -> None:
     (head = everything before '## Scaling'; scaling = that section).
     The latest measurement always wins — BENCH.md is 'latest run', never
     best-of (round-1 ADVICE: one-way ratchets turn a noisy measurement
-    into cherry-picking). With no existing file, write the full report
-    from this run."""
+    into cherry-picking) — with ONE pre-registered exception: a run
+    whose every scaling round was refused by the capacity probe
+    (quota_limited) does not replace a recorded run that had admitted
+    rounds. Admission is decided by the independent pre+post compute
+    probe before the efficiency is known, so this keeps the apples
+    (plan measurements) from being overwritten by oranges (quota
+    measurements); it is not an efficiency-value ratchet. With no
+    existing file, write the full report from this run."""
     path = os.path.join(REPO, "BENCH.md")
     old = None
+    existing_admitted = False
     if os.path.exists(path):
         with open(path) as f:
-            parts = f.read().split("\n## Scaling", 1)
+            text = f.read()
+        parts = text.split("\n## Scaling", 1)
+        existing_admitted = "quota_limited=False" in text
         if keep == "scaling" and len(parts) == 2:
             old = "\n## Scaling" + parts[1].rstrip() + "\n"
         elif keep == "head":
             old = parts[0].rstrip()
+    sc = result.get("scaling") or {}
     if (keep == "head" and old is not None
-            and "efficiency" not in (result.get("scaling") or {})):
+            and "efficiency" not in sc):
         return   # scaling-only run measured nothing; keep the committed file
+    if (keep == "head" and old is not None
+            and sc.get("quota_limited") and existing_admitted):
+        print("splice: run fully quota-limited (no admitted rounds); "
+              "keeping the existing admitted scaling record",
+              file=sys.stderr)
+        return
     _write_bench_md(result)
     if old is None:
         return   # fresh checkout: the full report from this run stands
