@@ -304,7 +304,16 @@ def main() -> None:
 
     if os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "1") == "1":
         if SCALING:
-            _write_bench_md(result)
+            md = os.path.join(REPO, "BENCH.md")
+            had_admitted = (os.path.exists(md)
+                            and "quota_limited=False" in open(md).read())
+            if scaling.get("quota_limited") and had_admitted:
+                # same pre-registered exception as _splice_md: a run the
+                # capacity probe refused wholesale refreshes the headline
+                # half only, keeping the admitted scaling record
+                _splice_md(result, keep="scaling")
+            else:
+                _write_bench_md(result)
         else:
             _splice_md(result, keep="scaling")   # headline-only refresh
     else:
