@@ -580,6 +580,41 @@ def _g4_b1_index(ref: list[int], a0: int, color: int) -> int:
     return i
 
 
+def _g4_encode_line(bw: "_MsbWriter", cur: list[int], ref: list[int],
+                    w: int) -> None:
+    """Code one line 2-D against `ref` (T.6 / T.4 2-D share this)."""
+    a0, color = -1, 0
+    while a0 < w:
+        i = _g4_b1_index(ref, a0, color)
+        b1 = ref[i] if i < len(ref) else w
+        b2 = ref[i + 1] if i + 1 < len(ref) else w
+        j = bisect.bisect_right(cur, a0)
+        a1 = cur[j] if j < len(cur) else w
+        if b2 < a1:                               # pass mode
+            _ccitt_emit(bw, _G4_PASS)
+            a0 = b2
+        elif abs(a1 - b1) <= 3:                   # vertical mode
+            d = a1 - b1
+            if d == 0:
+                _ccitt_emit(bw, _G4_V0)
+            elif d > 0:
+                _ccitt_emit(bw, _G4_VR[d])
+            else:
+                _ccitt_emit(bw, _G4_VL[-d])
+            a0, color = a1, 1 - color
+        else:                                     # horizontal mode
+            a2 = cur[j + 1] if j + 1 < len(cur) else w
+            _ccitt_emit(bw, _G4_HORIZ)
+            start = max(a0, 0)
+            _ccitt_write_run(bw, a1 - start,
+                             _CCITT_WHITE_ALL if color == 0
+                             else _CCITT_BLACK_ALL)
+            _ccitt_write_run(bw, a2 - a1,
+                             _CCITT_BLACK_ALL if color == 0
+                             else _CCITT_WHITE_ALL)
+            a0 = a2
+
+
 def _g4_encode(black: np.ndarray) -> bytes:
     """T.6 MMR (TIFF compression 4): every line coded against the
     previous one (imaginary all-white line above the first); pass /
@@ -590,38 +625,62 @@ def _g4_encode(black: np.ndarray) -> bytes:
     ref: list[int] = []                 # all-white reference line
     for y in range(h):
         cur = _changes_of(black[y])
-        a0, color = -1, 0
-        while a0 < w:
-            i = _g4_b1_index(ref, a0, color)
-            b1 = ref[i] if i < len(ref) else w
-            b2 = ref[i + 1] if i + 1 < len(ref) else w
-            j = bisect.bisect_right(cur, a0)
-            a1 = cur[j] if j < len(cur) else w
-            if b2 < a1:                               # pass mode
-                _ccitt_emit(bw, _G4_PASS)
-                a0 = b2
-            elif abs(a1 - b1) <= 3:                   # vertical mode
-                d = a1 - b1
-                if d == 0:
-                    _ccitt_emit(bw, _G4_V0)
-                elif d > 0:
-                    _ccitt_emit(bw, _G4_VR[d])
-                else:
-                    _ccitt_emit(bw, _G4_VL[-d])
-                a0, color = a1, 1 - color
-            else:                                     # horizontal mode
-                a2 = cur[j + 1] if j + 1 < len(cur) else w
-                _ccitt_emit(bw, _G4_HORIZ)
-                start = max(a0, 0)
-                _ccitt_write_run(bw, a1 - start,
-                                 _CCITT_WHITE_ALL if color == 0
-                                 else _CCITT_BLACK_ALL)
-                _ccitt_write_run(bw, a2 - a1,
-                                 _CCITT_BLACK_ALL if color == 0
-                                 else _CCITT_WHITE_ALL)
-                a0 = a2
+        _g4_encode_line(bw, cur, ref, w)
         ref = cur
     return bw.flush()
+
+
+def _g4_decode_line(br: "_MsbReader", ref: list[int],
+                    w: int) -> list[int]:
+    """Decode one 2-D-coded line against `ref`; returns the changing
+    positions (may include a line-ending sentinel at w)."""
+    cur: list[int] = []
+    a0, color = -1, 0
+    while a0 < w:
+        i = _g4_b1_index(ref, a0, color)
+        b1 = ref[i] if i < len(ref) else w
+        b2 = ref[i + 1] if i + 1 < len(ref) else w
+        if br.bit():                              # 1 -> V0
+            a1 = b1
+            cur.append(a1)
+            a0, color = a1, 1 - color
+            continue
+        if br.bit():                              # 01x -> V(L/R)1
+            a1 = b1 + 1 if br.bit() else b1 - 1
+            cur.append(a1)
+            a0, color = a1, 1 - color
+            continue
+        if br.bit():                              # 001 -> horizontal
+            start = max(a0, 0)
+            r1 = _ccitt_read_run(
+                br, _CCITT_WHITE_DEC if color == 0
+                else _CCITT_BLACK_DEC)
+            r2 = _ccitt_read_run(
+                br, _CCITT_BLACK_DEC if color == 0
+                else _CCITT_WHITE_DEC)
+            a1, a2 = start + r1, start + r1 + r2
+            cur.extend((a1, a2))
+            a0 = a2
+            continue
+        if br.bit():                              # 0001 -> pass
+            a0 = b2
+            continue
+        if br.bit():                              # 00001 1x -> V(L/R)2
+            a1 = b1 + 2 if br.bit() else b1 - 2
+        elif br.bit():                            # 000001 1x -> V(L/R)3
+            a1 = b1 + 3 if br.bit() else b1 - 3
+        else:
+            raise ValueError("CCITT G4: invalid mode code")
+        cur.append(a1)
+        a0, color = a1, 1 - color
+    return cur
+
+
+def _paint_line(out: np.ndarray, y: int, cur: list[int], w: int) -> None:
+    for k in range(0, len(cur) - 1, 2):               # paint black runs
+        out[y, cur[k]:cur[k + 1]] = True
+    if len(cur) % 2:
+        out[y, cur[-1]:w] = True
 
 
 def _g4_decode(data: bytes, h: int, w: int) -> bytes:
@@ -631,49 +690,8 @@ def _g4_decode(data: bytes, h: int, w: int) -> bytes:
     out = np.zeros((h, row_bytes * 8), dtype=bool)
     ref: list[int] = []
     for y in range(h):
-        cur: list[int] = []
-        a0, color = -1, 0
-        while a0 < w:
-            i = _g4_b1_index(ref, a0, color)
-            b1 = ref[i] if i < len(ref) else w
-            b2 = ref[i + 1] if i + 1 < len(ref) else w
-            if br.bit():                              # 1 -> V0
-                a1 = b1
-                cur.append(a1)
-                a0, color = a1, 1 - color
-                continue
-            if br.bit():                              # 01x -> V(L/R)1
-                a1 = b1 + 1 if br.bit() else b1 - 1
-                cur.append(a1)
-                a0, color = a1, 1 - color
-                continue
-            if br.bit():                              # 001 -> horizontal
-                start = max(a0, 0)
-                r1 = _ccitt_read_run(
-                    br, _CCITT_WHITE_DEC if color == 0
-                    else _CCITT_BLACK_DEC)
-                r2 = _ccitt_read_run(
-                    br, _CCITT_BLACK_DEC if color == 0
-                    else _CCITT_WHITE_DEC)
-                a1, a2 = start + r1, start + r1 + r2
-                cur.extend((a1, a2))
-                a0 = a2
-                continue
-            if br.bit():                              # 0001 -> pass
-                a0 = b2
-                continue
-            if br.bit():                              # 00001 1x -> V(L/R)2
-                a1 = b1 + 2 if br.bit() else b1 - 2
-            elif br.bit():                            # 000001 1x -> V(L/R)3
-                a1 = b1 + 3 if br.bit() else b1 - 3
-            else:
-                raise ValueError("CCITT G4: invalid mode code")
-            cur.append(a1)
-            a0, color = a1, 1 - color
-        for k in range(0, len(cur) - 1, 2):           # paint black runs
-            out[y, cur[k]:cur[k + 1]] = True
-        if len(cur) % 2:
-            out[y, cur[-1]:w] = True
+        cur = _g4_decode_line(br, ref, w)
+        _paint_line(out, y, cur, w)
         # the encoder's reference line holds TRUE transitions only — a
         # sentinel a1 == w from a line-ending vertical/horizontal code
         # is not one; keep both sides' b1 arithmetic identical
@@ -681,8 +699,81 @@ def _g4_decode(data: bytes, h: int, w: int) -> bytes:
     return np.packbits(out, axis=1).tobytes()
 
 
-_TIFF_COMPRESSION = {"none": 1, "g3": 2, "t4": 3, "g4": 4, "lzw": 5,
-                     "deflate": 8, "packbits": 32773}
+def _t4_2d_encode(black: np.ndarray, k: int = 4) -> bytes:
+    """T.4 two-dimensional coding (TIFF compression 3 with T4Options
+    bit 0, PDF CCITTFaxDecode K>0): every line prefixed by EOL + a tag
+    bit (1 = 1-D, 0 = 2-D); the first line of each K-group is 1-D, the
+    rest are coded against the previous line with the T.6 modes."""
+    h, w = black.shape
+    bw = _MsbWriter()
+    ref: list[int] = []
+    for y in range(h):
+        one_d = (y % k) == 0
+        bw.write(0x001, 12)             # EOL
+        bw.write(1 if one_d else 0, 1)  # tag bit
+        cur = _changes_of(black[y])
+        if one_d:
+            changes = cur + [w]
+            pos, color, i = 0, 0, 0
+            while pos < w:
+                nxt = changes[i] if i < len(changes) else w
+                _ccitt_write_run(bw, nxt - pos,
+                                 _CCITT_WHITE_ALL if color == 0
+                                 else _CCITT_BLACK_ALL)
+                pos, color, i = nxt, 1 - color, i + 1
+        else:
+            _g4_encode_line(bw, cur, ref, w)
+        ref = cur
+    return bw.flush()
+
+
+def _t4_2d_decode(data: bytes, h: int, w: int) -> bytes:
+    """Inverse of _t4_2d_encode -> packed rows (bit 1 = black)."""
+    br = _MsbReader(data)
+    row_bytes = -(-w // 8)
+    out = np.zeros((h, row_bytes * 8), dtype=bool)
+    ref: list[int] = []
+    for y in range(h):
+        zeros = 0                       # fill zeros then EOL
+        while True:
+            if br.bit():
+                break
+            zeros += 1
+            if zeros > 64 + 11:
+                raise ValueError("CCITT T.4 2-D: EOL not found")
+        if zeros < 11:
+            raise ValueError("CCITT T.4 2-D: malformed EOL")
+        if br.bit():                    # tag bit 1 -> 1-D line
+            cur = []
+            pos, color = 0, 0
+            while pos < w:
+                run = _ccitt_read_run(
+                    br, _CCITT_WHITE_DEC if color == 0
+                    else _CCITT_BLACK_DEC)
+                if pos + run > w:
+                    raise ValueError("CCITT: run overflows row")
+                pos += run
+                if pos < w:
+                    cur.append(pos)
+                color = 1 - color
+            # zero-length runs produce duplicate boundaries = no
+            # transition; collapse adjacent equal pairs
+            norm: list[int] = []
+            for c in cur:
+                if norm and norm[-1] == c:
+                    norm.pop()
+                else:
+                    norm.append(c)
+            cur = norm
+        else:                           # tag bit 0 -> 2-D line
+            cur = _g4_decode_line(br, ref, w)
+        _paint_line(out, y, cur, w)
+        ref = [c for c in cur if c < w]
+    return np.packbits(out, axis=1).tobytes()
+
+
+_TIFF_COMPRESSION = {"none": 1, "g3": 2, "t4": 3, "t4_2d": 3, "g4": 4,
+                     "lzw": 5, "deflate": 8, "packbits": 32773}
 
 
 def encode_tiff(img: np.ndarray, packbits: bool = False,
@@ -741,7 +832,8 @@ def encode_tiff(img: np.ndarray, packbits: bool = False,
     else:
         rows = img.reshape(h, w * bands)
     rows_per_strip = 1
-    if compression in ("g3", "t4", "g4"):
+    t4options = None
+    if compression in ("g3", "t4", "t4_2d", "g4"):
         # CCITT coding: bilevel only, bit 1 = black under the fax
         # convention, so the file declares WhiteIsZero (photometric 0)
         if bits != 1:
@@ -749,9 +841,13 @@ def encode_tiff(img: np.ndarray, packbits: bool = False,
         black = img < 128               # True = black ink
         if compression == "g3":         # compression 2: aligned rows
             strips = [_g3_encode(black[y:y + 1]) for y in range(h)]
-        elif compression == "t4":       # compression 3: EOL-prefixed
+        elif compression == "t4":       # compression 3: EOL-prefixed 1-D
             strips = [_g3_encode(black, align=False, eol=True)]
             rows_per_strip = h
+        elif compression == "t4_2d":    # compression 3 + T4Options 2-D
+            strips = [_t4_2d_encode(black)]
+            rows_per_strip = h
+            t4options = 1
         else:                           # g4: one stateful strip
             strips = [_g4_encode(black)]
             rows_per_strip = h
@@ -771,7 +867,8 @@ def encode_tiff(img: np.ndarray, packbits: bool = False,
 
     # layout: header(8) | IFD | [bits array if bands==3] | [x/y rational
     #         if dpi] | strip offsets | strip counts | pixel data
-    n_entries = 9 + (1 if predictor else 0) + (3 if dpi else 0)
+    n_entries = (9 + (1 if predictor else 0) + (3 if dpi else 0)
+                 + (1 if t4options else 0))
     ifd_off = 8
     after_ifd = ifd_off + 2 + n_entries * 12 + 4
     bits_off = after_ifd
@@ -807,9 +904,12 @@ def encode_tiff(img: np.ndarray, packbits: bool = False,
         (entry(279, 4, 1, len(strips[0])) if n_strips == 1
          else entry(279, 4, n_strips, sc_off)),
     ]
-    if dpi:        # tags stay ascending: 282 < 283 < 296 < 317
+    if dpi:        # tags stay ascending: 282 < 283 < 292 < 296 < 317
         entries.append(entry(282, 5, 1, rat_off))       # XResolution
         entries.append(entry(283, 5, 1, rat_off + 8))   # YResolution
+    if t4options:
+        entries.append(entry(292, 4, 1, t4options))     # T4Options: 2-D
+    if dpi:
         entries.append(entry(296, 3, 1, 2))             # unit = inch
     if predictor:
         entries.append(entry(317, 3, 1, 2))
@@ -879,9 +979,7 @@ def _decode_tiff_ifd(data: bytes, endian: str, ifd_off: int) -> np.ndarray:
             "(none/CCITT G3/T4/G4/LZW/DEFLATE/PackBits only)")
     if compression in (2, 3, 4) and (bps != 1 or bands != 1):
         raise ValueError("TIFF CCITT compression requires 1-bit 1-band")
-    if compression == 3 and tags.get("t4options", [0])[0] & 1:
-        raise NotImplementedError("TIFF T.4 2-D (T4Options bit 0) "
-                                  "unsupported (1-D EOL lines only)")
+
     predictor = tags.get("predictor", [1])[0]
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor} unsupported "
@@ -903,8 +1001,11 @@ def _decode_tiff_ifd(data: bytes, endian: str, ifd_off: int) -> np.ndarray:
             raw = zlib.decompress(raw)
         elif compression == 2:            # CCITT G3 1-D (MH, no EOLs)
             raw = _g3_decode(raw, n_rows, w)
-        elif compression == 3:            # T.4 1-D, EOL-prefixed lines
-            raw = _g3_decode(raw, n_rows, w, align=False, eol=True)
+        elif compression == 3:            # T.4, EOL-prefixed lines
+            if tags.get("t4options", [0])[0] & 1:     # 2-D (tag bits)
+                raw = _t4_2d_decode(raw, n_rows, w)
+            else:                                     # pure 1-D
+                raw = _g3_decode(raw, n_rows, w, align=False, eol=True)
         elif compression == 4:            # CCITT G4 (T.6 MMR)
             raw = _g4_decode(raw, n_rows, w)
         chunks.append(np.frombuffer(raw, dtype=np.uint8,

@@ -169,17 +169,19 @@ def decode_pdf(payload: bytes) -> np.ndarray:
             raise ValueError("PDF image XObject has no stream")
         if b"/CCITTFaxDecode" in body:
             from .codecs_img import (_g3_decode,  # lazy: avoids cycle
-                                     _g4_decode)
+                                     _g4_decode, _t4_2d_decode)
             k_m = re.search(rb"/K\s+(-?\d+)", body)
             k = int(k_m.group(1)) if k_m else 0
             cols_m = re.search(rb"/Columns\s+(\d+)", body)
             cols = int(cols_m.group(1)) if cols_m else 1728
-            if k > 0:
-                raise NotImplementedError(
-                    "PDF CCITTFaxDecode K > 0 (mixed 1-D/2-D Group 3) "
-                    "unsupported (K < 0 pure G4 or K = 0 1-D only)")
             if k < 0:
                 decoded = _g4_decode(data, h, cols)
+            elif k > 0:                  # mixed 1-D/2-D: tag bits after
+                if b"/EndOfLine true" not in body:   # each EOL
+                    raise NotImplementedError(
+                        "PDF CCITTFaxDecode K > 0 without EndOfLine "
+                        "unsupported (no line framing to parse)")
+                decoded = _t4_2d_decode(data, h, cols)
             else:                        # K = 0: T.4 1-D; PDF defaults
                 decoded = _g3_decode(    # are no EOLs, no byte align
                     data, h, cols,

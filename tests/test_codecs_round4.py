@@ -331,26 +331,46 @@ class TestCcitt:
         out = decode_tiff(encode_tiff(img, compression="t4", bits=1))
         assert np.array_equal(out, img)
 
-    def test_t4_2d_option_rejected(self):
-        """A foreign compression-3 file declaring T4Options bit 0
-        (2-D-coded lines) is refused, not mis-decoded as 1-D."""
-        import struct
+    @pytest.mark.parametrize("shape", [(1, 1), (9, 17), (40, 100)])
+    def test_t4_2d_roundtrip(self, shape):
+        """TIFF compression 3 with T4Options bit 0: EOL + tag bit per
+        line, 1-D K-group leaders, 2-D lines via the T.6 modes."""
+        rng = np.random.default_rng(sum(shape) + 3)
+        img = (rng.random(shape) > 0.45).astype(np.uint8) * 255
+        out = decode_tiff(encode_tiff(img, compression="t4_2d", bits=1))
+        assert np.array_equal(out, img)
 
-        def entry(tag, typ, count, value):
-            if typ == 3:
-                return struct.pack("<HHIHH", tag, typ, count, value, 0)
-            return struct.pack("<HHII", tag, typ, count, value)
+    def test_t4_2d_page_fixture(self):
+        from org_dharts_dia_tesseract_spark.datagen import fixture_page
+        pg = (fixture_page("simple_poetry") >= 128).astype(np.uint8) * 255
+        out = decode_tiff(encode_tiff(pg, compression="t4_2d", bits=1))
+        assert np.array_equal(out, pg)
 
-        entries = [entry(256, 4, 1, 2), entry(257, 4, 1, 1),
-                   entry(258, 3, 1, 1), entry(259, 3, 1, 3),
-                   entry(262, 3, 1, 0), entry(273, 4, 1, 134),
-                   entry(277, 3, 1, 1), entry(278, 4, 1, 1),
-                   entry(279, 4, 1, 2), entry(292, 4, 1, 1)]
-        blob = (struct.pack("<2sHI", b"II", 42, 8)
-                + struct.pack("<H", len(entries)) + b"".join(entries)
-                + struct.pack("<I", 0) + b"\x00\x10")
-        with pytest.raises(NotImplementedError, match="2-D"):
-            decode_tiff(blob)
+    def test_pdf_k_positive_with_eol(self):
+        """PDF CCITTFaxDecode K>0 with EndOfLine true decodes via the
+        T.4 2-D line framing."""
+        import re
+        from org_dharts_dia_tesseract_spark.codecs_img import (
+            _t4_2d_encode)
+        from org_dharts_dia_tesseract_spark.codecs_pdf import (decode_pdf,
+                                                               encode_pdf)
+        rng = np.random.default_rng(85)
+        img = (rng.random((13, 29)) > 0.5).astype(np.uint8) * 255
+        blob = encode_pdf(img, ccitt=True)
+        t4 = _t4_2d_encode(img < 128)
+        m = re.search(rb"/DecodeParms << /K -1 /Columns (\d+) /Rows "
+                      rb"(\d+) >> /Length (\d+) >>\nstream\n", blob)
+        start, end = m.span()
+        blob2 = (blob[:start]
+                 + b"/DecodeParms << /K 4 /Columns %d /Rows %d "
+                   b"/EndOfLine true >> /Length %d >>\nstream\n"
+                 % (img.shape[1], img.shape[0], len(t4))
+                 + t4 + blob[end + int(m.group(3)):])
+        assert np.array_equal(decode_pdf(blob2), img)
+        # K>0 without EndOfLine has no line framing -> refused
+        blob3 = blob2.replace(b" /EndOfLine true", b"")
+        with pytest.raises(NotImplementedError, match="EndOfLine"):
+            decode_pdf(blob3)
 
     def test_pdf_k0_bare_stream(self):
         """PDF CCITTFaxDecode K=0 defaults: no EOLs, no byte alignment
