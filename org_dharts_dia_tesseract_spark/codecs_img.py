@@ -1035,14 +1035,17 @@ def _decode_tiff_ifd(data: bytes, endian: str, ifd_off: int) -> np.ndarray:
 
 def encode_tiff_multipage(pages: list[np.ndarray],
                           packbits: bool = False,
-                          compression: str | None = None) -> bytes:
+                          compression: str | None = None,
+                          bits: int = 8) -> bytes:
     """Multi-page TIFF: per-page single-IFD files concatenated (header
     kept once) with every intra-file offset rebased and the IFDs linked
     through the `next` pointer chain — the layout
-    ImageIOHelper.createTiffFiles:74-123 splits back into page files."""
+    ImageIOHelper.createTiffFiles:74-123 splits back into page files.
+    `bits=1` + a CCITT compression gives the classic multi-page fax."""
     if not pages:
         raise ValueError("multi-page TIFF needs at least one page")
-    blobs = [encode_tiff(p, packbits, compression) for p in pages]
+    blobs = [encode_tiff(p, packbits, compression, bits=bits)
+             for p in pages]
     # page i's bytes land at `starts[i]`; for i>0 the 8-byte header is
     # dropped, so an in-blob offset X maps to X + starts[i] - 8
     starts, pos = [], 0

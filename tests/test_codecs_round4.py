@@ -406,6 +406,23 @@ class TestCcitt:
                 assert np.array_equal(out, img), (h, w, p, comp)
 
 
+    @pytest.mark.parametrize("compression", ["g3", "t4_2d", "g4"])
+    def test_multipage_fax_roundtrip(self, compression):
+        """Multi-page fax TIFF: linked-IFD pages each carrying a CCITT
+        strip — the classic scanned-document archive container."""
+        from org_dharts_dia_tesseract_spark.codecs_img import (
+            decode_tiff_pages, encode_tiff_multipage)
+        rng = np.random.default_rng(86)
+        pages = [(rng.random((11, 17)) > 0.5).astype(np.uint8) * 255
+                 for _ in range(3)]
+        blob = encode_tiff_multipage(pages, compression=compression,
+                                     bits=1)
+        out = decode_tiff_pages(blob)
+        assert len(out) == 3
+        for a, b in zip(out, pages):
+            assert np.array_equal(a, b)
+
+
 # -- scanned PDF (CCITTFaxDecode) ---------------------------------------------
 
 class TestPdfCcitt:
