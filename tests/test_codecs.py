@@ -112,11 +112,17 @@ def test_malformed_payloads():
         struct.pack_into("<I", bad, 30, 1)
         C.decode_bmp(bytes(bad))
     with pytest.raises(NotImplementedError):
-        # CCITT G3 tiff (LZW graduated to a real decoder)
+        # old-style JPEG-in-TIFF (compression 6) stays unsupported
+        # (LZW, then CCITT G3/G4, graduated to real decoders)
         bad = bytearray(C.encode_tiff(GREY))
         # compression entry is the 4th (0-based 3): value at +8 into entry
         off = 8 + 2 + 3 * 12 + 8
-        struct.pack_into("<H", bad, off, 3)
+        struct.pack_into("<H", bad, off, 6)
+        C.decode_tiff(bytes(bad))
+    with pytest.raises(ValueError, match="1-bit"):
+        # CCITT compression declared on an 8-bit file is malformed
+        bad = bytearray(C.encode_tiff(GREY))
+        struct.pack_into("<H", bad, 8 + 2 + 3 * 12 + 8, 3)
         C.decode_tiff(bytes(bad))
     with pytest.raises(ValueError, match="LZW"):
         # valid LZW tag but garbage stream: typed error, not IndexError
