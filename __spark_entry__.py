@@ -325,6 +325,20 @@ def _ocr_spans_pdf_g4_media(spark: SparkSession,
                                               pdf_ccitt=True))
 
 
+def _audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio tier of the multimodal surface: WAV (RIFF/PCM, 8/16-bit,
+    mono/stereo) decoded by the from-scratch codecs_wav and reduced to
+    per-clip signal features (duration/RMS/peak/zero-crossing-rate) in
+    one narrow mapInPandas stage — zero shuffles, payloads stay in
+    their scan partition. The oracle parquet is the single-process twin
+    over the identical deterministic clips (same wav_features kernel),
+    so values hash bit-identically."""
+    from org_dharts_dia_tesseract_spark.operators.multimodal import \
+        audio_features
+    from org_dharts_dia_tesseract_spark.sources.tables import audio_table
+    return audio_features(audio_table(spark, 200))
+
+
 def _pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF text-layer parse: render each document's text spans as a
     Tj-stream PDF (sink), then parse the shown strings back out
@@ -362,7 +376,7 @@ _PRIORITY = [
     "ocr_dpi_font_attrs", "ocr_spans_jpeg_color_media",
     "ocr_spans_jpeg_prog_media", "ocr_spans_png_palette_media",
     "ocr_spans_tiff_bilevel_media", "ocr_spans_tiff_g4_media",
-    "ocr_spans_pdf_g4_media",
+    "ocr_spans_pdf_g4_media", "audio_features",
     # (1) last driver-green in round 1
     "json_props_extract", "array_component_stats",
     # (2) last driver-green in round 2
@@ -382,9 +396,9 @@ _PRIORITY = [
     "word_flags",
     # (3) round-3 greens whose implementation changes this round
     "ntile_price_quartiles", "dedup_clusters",
-    # (4) fill to the 50-cap with round-3 flagship gates (the tail past
-    # position 50 — html_main_content/winnow_fingerprints/pii_scrub —
-    # stays r3-green and locally gate-checked, <= 1 round stale)
+    # (4) fill past the 50-cap with round-3 flagship gates (8 new
+    # round-4 gates pushed this whole tranche out of the window; all of
+    # it is r3-green and locally gate-checked, <= 1 round stale)
     "ocr_extract_spans", "ocr_hierarchy", "ocr_layout_only",
     "html_main_content", "winnow_fingerprints", "pii_scrub",
 ]
@@ -415,6 +429,7 @@ _RASTER_GATES = {
     "ocr_spans_tiff_bilevel_media": _ocr_spans_tiff_bilevel_media,
     "ocr_spans_tiff_g4_media": _ocr_spans_tiff_g4_media,
     "ocr_spans_pdf_g4_media": _ocr_spans_pdf_g4_media,
+    "audio_features": _audio_features,
     "ocr_spans_jp2_media": _ocr_spans_jp2_media,
     "ocr_spans_pdf_media": _ocr_spans_pdf_media,
     "pdf_text_extract": _pdf_text_extract,

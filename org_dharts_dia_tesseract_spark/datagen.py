@@ -363,3 +363,37 @@ def colorize_page(img: np.ndarray) -> np.ndarray:
                     y - 0.344136 * cb - 0.714136 * cr,
                     y + 1.772 * cb], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def audio_row_for(audio_ref: str) -> dict:
+    """One deterministic synthetic audio clip keyed by ref: a mix of
+    2-4 sine partials + low-level noise, 0.2-0.8 s at 8 kHz, mono or
+    stereo, 8- or 16-bit PCM WAV — the audio analog of media_row_for
+    (opaque binary payload + typed metadata, task-brief multimodal
+    tier). Pure numpy + the from-scratch RIFF codec."""
+    from .codecs_wav import encode_wav
+    rng = np.random.default_rng(_seed_from("audio:" + audio_ref))
+    rate = 8000
+    n = int(rng.integers(rate // 5, int(rate * 0.8)))
+    t = np.arange(n, dtype=np.float64) / rate
+    sig = np.zeros(n, dtype=np.float64)
+    for _ in range(int(rng.integers(2, 5))):
+        freq = float(rng.uniform(80.0, 2000.0))
+        amp = float(rng.uniform(0.05, 0.3))
+        phase = float(rng.uniform(0.0, 2.0 * np.pi))
+        sig += amp * np.sin(2.0 * np.pi * freq * t + phase)
+    sig += rng.normal(0.0, 0.01, n)
+    sig = np.clip(sig, -0.999, 0.999)
+    channels = 2 if rng.random() < 0.3 else 1
+    pcm = np.round(sig * 32767.0).astype(np.int16)
+    if channels == 2:
+        right = np.roll(pcm, int(rng.integers(1, 40)))
+        pcm = np.stack([pcm, right], axis=1)
+    bits = 8 if rng.random() < 0.25 else 16
+    return {
+        "audio_ref": audio_ref,
+        "sample_rate": rate,
+        "channels": channels,
+        "bits": bits,
+        "payload": encode_wav(pcm, rate, bits=bits),
+    }

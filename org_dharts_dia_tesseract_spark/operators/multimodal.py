@@ -262,3 +262,37 @@ def frame_sample(documents: DataFrame, media: DataFrame,
     frames = frames.withColumn("frame_idx", F.row_number().over(w) - 1)
     kept = frames.where(F.col("frame_idx") % every_k == 0)
     return kept.join(media, "media_ref")
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType([
+    T.StructField("audio_ref", T.StringType(), False),
+    T.StructField("n_samples", T.IntegerType(), False),
+    T.StructField("channels", T.IntegerType(), False),
+    T.StructField("sample_rate", T.IntegerType(), False),
+    T.StructField("duration_s", T.DoubleType(), False),
+    T.StructField("rms", T.DoubleType(), False),
+    T.StructField("peak", T.DoubleType(), False),
+    T.StructField("zero_crossing_rate", T.DoubleType(), False),
+])
+
+
+def audio_features(audio: DataFrame) -> DataFrame:
+    """Signal features over opaque WAV payloads (the task-brief audio
+    tier): per-clip duration / RMS / peak / zero-crossing-rate via the
+    from-scratch RIFF/PCM codec (codecs_wav.wav_features — the same
+    kernel the single-process oracle runs, so values are bit-identical).
+    One narrow mapInPandas stage, zero shuffles; payloads never leave
+    their scan partition — the shape that holds at 100 TB of audio."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..codecs_wav import wav_features
+        for pdf in batches:
+            out = {f.name: [] for f in AUDIO_FEATURES_SCHEMA}
+            for r in pdf.itertuples(index=False):
+                feats = wav_features(r.payload)
+                out["audio_ref"].append(r.audio_ref)
+                for k, v in feats.items():
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return audio.select("audio_ref", "payload").mapInPandas(
+        run, AUDIO_FEATURES_SCHEMA)

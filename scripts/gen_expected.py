@@ -509,6 +509,29 @@ def main() -> None:
     # must follow the embedded value (metadata > table column > default)
     write("ocr_dpi_font_attrs", _font_attrs_table(
         list(_hierarchy_rows(corpus, CAP_MEDIA, ppi=192))))
+    # audio tier: single-process twin of operators.multimodal.
+    # audio_features over the same deterministic clips (shared
+    # codecs_wav.wav_features kernel -> bit-identical doubles)
+    from org_dharts_dia_tesseract_spark.codecs_wav import wav_features
+    from org_dharts_dia_tesseract_spark.datagen import audio_row_for
+    arows = []
+    for i in range(CAP_MEDIA):
+        ref = f"aud-{i:08d}"
+        arows.append({"audio_ref": ref,
+                      **wav_features(audio_row_for(ref)["payload"])})
+    write("audio_features", pa.table({
+        "audio_ref": pa.array([r["audio_ref"] for r in arows], pa.string()),
+        "n_samples": pa.array([r["n_samples"] for r in arows], pa.int32()),
+        "channels": pa.array([r["channels"] for r in arows], pa.int32()),
+        "sample_rate": pa.array([r["sample_rate"] for r in arows],
+                                pa.int32()),
+        "duration_s": pa.array([r["duration_s"] for r in arows],
+                               pa.float64()),
+        "rms": pa.array([r["rms"] for r in arows], pa.float64()),
+        "peak": pa.array([r["peak"] for r in arows], pa.float64()),
+        "zero_crossing_rate": pa.array(
+            [r["zero_crossing_rate"] for r in arows], pa.float64()),
+    }))
     write("ocr_unlv_text", _unlv_table(hier))
     write("ocr_training_corpus", _training_table(spans))
     write("ocr_annotated_pages", _annotated_table(corpus, CAP_ANNOTATED))
