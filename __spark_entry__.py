@@ -325,6 +325,24 @@ def _ocr_spans_pdf_g4_media(spark: SparkSession,
                                               pdf_ccitt=True))
 
 
+def _pq_topk_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (the IVF-PQ memory half): 64-dim
+    float32 vectors become 8 uint8 codes (8 subspaces x 16 centroids),
+    scored against queries via ADC inner-product lookup tables — the
+    corpus never shuffles and never leaves code space; each Arrow batch
+    emits only its local top-k (map-side combine). Training is a
+    deterministic id-ordered sample, so the single-process twin
+    (scripts/gen_expected.py) runs the SAME numpy kernels over the same
+    parquet and the doubles hash bit-identically."""
+    from org_dharts_dia_tesseract_spark.operators.similarity import \
+        pq_topk_adc
+    from org_dharts_dia_tesseract_spark.sources.tables import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    return pq_topk_adc(emb, qs, k=5, m=8, ks=16)
+
+
 def _audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio tier of the multimodal surface: WAV (RIFF/PCM, 8/16-bit,
     mono/stereo) decoded by the from-scratch codecs_wav and reduced to
@@ -376,7 +394,7 @@ _PRIORITY = [
     "ocr_dpi_font_attrs", "ocr_spans_jpeg_color_media",
     "ocr_spans_jpeg_prog_media", "ocr_spans_png_palette_media",
     "ocr_spans_tiff_bilevel_media", "ocr_spans_tiff_g4_media",
-    "ocr_spans_pdf_g4_media", "audio_features",
+    "ocr_spans_pdf_g4_media", "audio_features", "pq_topk_adc",
     # (1) last driver-green in round 1
     "json_props_extract", "array_component_stats",
     # (2) last driver-green in round 2
@@ -430,6 +448,7 @@ _RASTER_GATES = {
     "ocr_spans_tiff_g4_media": _ocr_spans_tiff_g4_media,
     "ocr_spans_pdf_g4_media": _ocr_spans_pdf_g4_media,
     "audio_features": _audio_features,
+    "pq_topk_adc": _pq_topk_adc,
     "ocr_spans_jp2_media": _ocr_spans_jp2_media,
     "ocr_spans_pdf_media": _ocr_spans_pdf_media,
     "pdf_text_extract": _pdf_text_extract,

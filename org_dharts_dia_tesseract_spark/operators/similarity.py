@@ -333,3 +333,169 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                                              F.col(id_col))
     return (scored.withColumn("rk", F.row_number().over(w).cast("int"))
             .where(F.col("rk") <= k))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ's PQ half): the 100 TB memory story —
+# a d-dim float32 vector becomes m uint8 codes (here 64 floats -> 8
+# bytes), scored against queries via ADC lookup tables without ever
+# reconstructing the vectors. Kernels are plain numpy module functions
+# so the single-process oracle (scripts/gen_expected.py) runs the SAME
+# code the executors run — doubles hash bit-identically.
+# ---------------------------------------------------------------------------
+
+def _as_f64(vecs) -> "np.ndarray":
+    """float32-normalize then widen — both the Arrow path (executors)
+    and the pyarrow path (oracle twin) land on identical float64."""
+    import numpy as np
+    return np.asarray(vecs, dtype=np.float32).astype(np.float64)
+
+
+def _pq_train_np(X, m: int, ks: int, n_iters: int = 5):
+    """Per-subspace Lloyd k-means with farthest-first init (k-center:
+    seed 0 = row 0, ties -> first index) — the deterministic training
+    twin of kmeans_centroids, one codebook per subspace."""
+    import numpy as np
+    n, d = X.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    sub = d // m
+    books = []
+    for j in range(m):
+        S = X[:, j * sub:(j + 1) * sub]
+        seeds = [0]
+        d_min = ((S - S[0]) ** 2).sum(axis=1)
+        while len(seeds) < min(ks, len(S)):
+            nxt = int(np.argmax(d_min))
+            seeds.append(nxt)
+            d_min = np.minimum(d_min, ((S - S[nxt]) ** 2).sum(axis=1))
+        C = S[seeds].copy()
+        for _ in range(n_iters):
+            dists = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = dists.argmin(axis=1)          # first-index ties
+            for c in range(len(C)):
+                members = S[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books.append(C)
+    return books
+
+
+def _pq_encode_np(X, books):
+    import numpy as np
+    m = len(books)
+    sub = X.shape[1] // m
+    codes = np.empty((X.shape[0], m), dtype=np.int32)
+    for j, C in enumerate(books):
+        S = X[:, j * sub:(j + 1) * sub]
+        codes[:, j] = ((S[:, None, :] - C[None, :, :]) ** 2
+                       ).sum(axis=2).argmin(axis=1)
+    return codes
+
+
+def _pq_adc_ip_np(q, books, codes):
+    """Asymmetric-distance inner product: per-subspace lookup tables
+    (books[j] @ q_sub), summed over subspaces in fixed j order — the
+    accumulation order is part of the bit-identity contract."""
+    import numpy as np
+    m = len(books)
+    sub = q.size // m
+    score = np.zeros(codes.shape[0], dtype=np.float64)
+    for j in range(m):
+        table = books[j] @ q[j * sub:(j + 1) * sub]
+        score += table[codes[:, j]]
+    return score
+
+
+def pq_train(embeddings: DataFrame, m: int = 8, ks: int = 16,
+             id_col: str = "vec_id", emb_col: str = "embedding",
+             init_sample: int = 8192) -> list:
+    """Train PQ codebooks on a deterministic id-ordered sample (ONE
+    bounded distributed job; at 10^12 rows training never scans the
+    corpus — only encode does, as a narrow broadcast-model map).
+    Returns nested lists (m x ks x d/m) for closure broadcast."""
+    sample = (embeddings.select(id_col, emb_col)
+              .orderBy(id_col).limit(init_sample).collect())
+    X = _as_f64([list(r[1]) for r in sample])
+    return [[list(map(float, row)) for row in C]
+            for C in _pq_train_np(X, m, ks)]
+
+
+def pq_encode(embeddings: DataFrame, codebooks: list,
+              id_col: str = "vec_id",
+              emb_col: str = "embedding") -> DataFrame:
+    """Corpus -> (id, pq_code array<int>): one narrow mapInPandas stage,
+    codebooks ride the closure (broadcast), zero shuffles."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType(), False),
+        T.StructField("pq_code", T.ArrayType(T.IntegerType()), False),
+    ])
+
+    def run(batches):
+        import numpy as np
+        books = [np.array(b, dtype=np.float64) for b in codebooks]
+        for pdf in batches:
+            X = _as_f64(np.stack(pdf[emb_col].to_numpy()))
+            codes = _pq_encode_np(X, books)
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "pq_code": list(codes)})
+
+    return embeddings.select(id_col, emb_col).mapInPandas(run, schema)
+
+
+def pq_topk_adc(embeddings: DataFrame, queries: DataFrame,
+                codebooks: list | None = None, k: int = 5,
+                m: int = 8, ks: int = 16,
+                id_col: str = "vec_id", emb_col: str = "embedding",
+                q_id_col: str = "q_id",
+                q_emb_col: str = "q_emb") -> DataFrame:
+    """Approximate inner-product top-k via PQ ADC: queries collect to
+    the driver (small by contract, like IVF probes), each Arrow batch
+    scores its codes against per-query lookup tables and emits only its
+    local top-k per query (map-side combine), then one window reduces
+    to the global top-k — the corpus never shuffles and never leaves
+    code space."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    if codebooks is None:
+        codebooks = pq_train(embeddings, m=m, ks=ks, id_col=id_col,
+                             emb_col=emb_col)
+    qrows = queries.select(q_id_col, q_emb_col).orderBy(q_id_col).collect()
+    q_ids = [r[0] for r in qrows]
+    Q = _as_f64([list(r[1]) for r in qrows])
+    schema = T.StructType([
+        T.StructField(q_id_col, T.LongType(), False),
+        T.StructField(id_col, T.LongType(), False),
+        T.StructField("adc_ip", T.DoubleType(), False),
+    ])
+
+    def run(batches):
+        import numpy as np
+        books = [np.array(b, dtype=np.float64) for b in codebooks]
+        for pdf in batches:
+            X = _as_f64(np.stack(pdf[emb_col].to_numpy()))
+            codes = _pq_encode_np(X, books)
+            ids = pdf[id_col].to_numpy()
+            out_q, out_v, out_s = [], [], []
+            for qi, qid in enumerate(q_ids):
+                s = _pq_adc_ip_np(Q[qi], books, codes)
+                # local prune must use the GLOBAL tie-break
+                # (score desc, id asc) or a boundary tie could drop
+                # the globally-ranked candidate
+                keep = np.lexsort((ids, -s))[:k + 1]
+                for b in keep:                    # +1 absorbs self-match
+                    if ids[b] == qid:
+                        continue
+                    out_q.append(qid)
+                    out_v.append(int(ids[b]))
+                    out_s.append(float(s[b]))
+            yield pd.DataFrame({q_id_col: out_q, id_col: out_v,
+                                "adc_ip": out_s})
+
+    cand = embeddings.select(id_col, emb_col).mapInPandas(run, schema)
+    w = Window.partitionBy(q_id_col).orderBy(F.col("adc_ip").desc(),
+                                             F.col(id_col))
+    return (cand.withColumn("rk", F.row_number().over(w).cast("int"))
+            .where(F.col("rk") <= k))

@@ -532,6 +532,39 @@ def main() -> None:
         "zero_crossing_rate": pa.array(
             [r["zero_crossing_rate"] for r in arows], pa.float64()),
     }))
+    # PQ ANN twin: same numpy kernels (similarity._pq_*_np) over the
+    # same embeddings parquet; like html_main_content this expectation
+    # is per-sf (trained on the sf dir's vectors; default sf0.01 = the
+    # driver's gate scale)
+    import numpy as np
+    from org_dharts_dia_tesseract_spark.operators.similarity import (
+        _as_f64, _pq_adc_ip_np, _pq_encode_np, _pq_train_np)
+    et = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    order = np.argsort(et["vec_id"].to_numpy())
+    ids = et["vec_id"].to_numpy()[order]
+    X = _as_f64([et["embedding"][int(i)].as_py() for i in order])
+    books = _pq_train_np(X, m=8, ks=16)
+    codes = _pq_encode_np(X, books)
+    prows = []
+    for qid in [i for i in ids if i < 5]:
+        qi = int(np.nonzero(ids == qid)[0][0])
+        s = _pq_adc_ip_np(X[qi], books, codes)
+        keep = np.lexsort((ids, -s))
+        rk = 0
+        for b in keep:
+            if ids[b] == qid:
+                continue
+            rk += 1
+            if rk > 5:
+                break
+            prows.append({"q_id": int(qid), "vec_id": int(ids[b]),
+                          "adc_ip": float(s[b]), "rk": rk})
+    write("pq_topk_adc", pa.table({
+        "q_id": pa.array([r["q_id"] for r in prows], pa.int64()),
+        "vec_id": pa.array([r["vec_id"] for r in prows], pa.int64()),
+        "adc_ip": pa.array([r["adc_ip"] for r in prows], pa.float64()),
+        "rk": pa.array([r["rk"] for r in prows], pa.int32()),
+    }))
     write("ocr_unlv_text", _unlv_table(hier))
     write("ocr_training_corpus", _training_table(spans))
     write("ocr_annotated_pages", _annotated_table(corpus, CAP_ANNOTATED))
