@@ -481,6 +481,100 @@ class TestGifColor:
             encode_gif(img)
 
 
+# -- property fuzz over the round-4 surfaces -----------------------------------
+
+def test_property_ccitt_matrix_roundtrips():
+    """Any bilevel image round-trips through every CCITT wire form."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.integers(1, 50), st.integers(1, 30),
+           st.floats(0.02, 0.98), st.integers(0, 2**32 - 1))
+    def check(w, h, p, seed):
+        rng = np.random.default_rng(seed)
+        img = (rng.random((h, w)) > p).astype(np.uint8) * 255
+        for comp in ("g3", "t4", "t4_2d", "g4"):
+            out = decode_tiff(encode_tiff(img, compression=comp, bits=1))
+            assert np.array_equal(out, img), comp
+
+    check()
+
+
+def test_property_png_surface_roundtrips():
+    """Any image round-trips through the widened PNG surface (16-bit,
+    interlace, palette where the color budget allows)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.integers(1, 40), st.integers(1, 40),
+           st.sampled_from([1, 3]), st.booleans(),
+           st.integers(0, 2**32 - 1))
+    def check(w, h, bands, interlace, seed):
+        rng = np.random.default_rng(seed)
+        shape = (h, w) if bands == 1 else (h, w, bands)
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        assert np.array_equal(
+            decode_png(encode_png(img, depth=16, interlace=interlace)),
+            img)
+        pal = rng.integers(0, 256, (4, 3) if bands == 3 else (4,),
+                           dtype=np.uint8)
+        idx = rng.integers(0, 4, (h, w))
+        pimg = pal[idx]
+        out = decode_png(encode_png(pimg, palette=True, depth=2,
+                                    interlace=interlace))
+        # grey palettes legitimately collapse to 1-band
+        if out.ndim == 2 and pimg.ndim == 3:
+            assert np.array_equal(np.stack([out] * 3, axis=2), pimg)
+        else:
+            assert np.array_equal(out, pimg)
+
+    check()
+
+
+def test_property_progressive_equals_baseline():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from org_dharts_dia_tesseract_spark.codecs_img import (decode_jpeg,
+                                                           encode_jpeg)
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.integers(1, 48), st.integers(1, 48),
+           st.sampled_from([1, 3]), st.sampled_from(["444", "420"]),
+           st.integers(0, 2**32 - 1))
+    def check(w, h, bands, sub, seed):
+        rng = np.random.default_rng(seed)
+        shape = (h, w) if bands == 1 else (h, w, bands)
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        kw = {} if bands == 1 else {"subsampling": sub}
+        base = decode_jpeg(encode_jpeg(img, 85, **kw))
+        prog = decode_jpeg(encode_jpeg(img, 85, progressive=True, **kw))
+        assert np.array_equal(base, prog)
+
+    check()
+
+
+def test_property_wav_roundtrips():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from org_dharts_dia_tesseract_spark.codecs_wav import (decode_wav,
+                                                           encode_wav)
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.integers(1, 2000), st.sampled_from([1, 2]),
+           st.sampled_from([8000, 16000, 44100]),
+           st.integers(0, 2**32 - 1))
+    def check(n, ch, rate, seed):
+        rng = np.random.default_rng(seed)
+        pcm = rng.integers(-32768, 32768, (n, ch)).astype(np.int16)
+        out, got_rate = decode_wav(encode_wav(pcm, rate))
+        assert got_rate == rate
+        assert np.array_equal(out, pcm)
+
+    check()
+
+
 # -- PNM wide samples --------------------------------------------------------
 
 class TestPnmWide:
