@@ -343,6 +343,24 @@ def _pq_topk_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk_adc(emb, qs, k=5, m=8, ks=16)
 
 
+def _ivfpq_topk_probe_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED faiss-style IVF-PQ read path: coarse k-means
+    assignment + RESIDUAL-space PQ codes, scored as q.centroid +
+    ADC(q, residual) in one mapInPandas stage with local top-k, one
+    window exchange. nprobe == n_lists here so every vector is scored
+    (the approximation under test is the quantization, not the
+    pruning); the oracle parquet is the single-process twin over the
+    same id-ordered training sample and kernels — bit-identical
+    doubles. Pruned-probe recall is pytest-covered."""
+    from org_dharts_dia_tesseract_spark.operators.similarity import \
+        ivfpq_topk
+    from org_dharts_dia_tesseract_spark.sources.tables import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    return ivfpq_topk(emb, qs, k=5, n_lists=8, nprobe=8, m=8, ks=16)
+
+
 def _audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio tier of the multimodal surface: WAV (RIFF/PCM, 8/16-bit,
     mono/stereo) decoded by the from-scratch codecs_wav and reduced to
@@ -395,6 +413,7 @@ _PRIORITY = [
     "ocr_spans_jpeg_prog_media", "ocr_spans_png_palette_media",
     "ocr_spans_tiff_bilevel_media", "ocr_spans_tiff_g4_media",
     "ocr_spans_pdf_g4_media", "audio_features", "pq_topk_adc",
+    "ivfpq_topk_probe_all",
     # (1) last driver-green in round 1
     "json_props_extract", "array_component_stats",
     # (2) last driver-green in round 2
@@ -449,6 +468,7 @@ _RASTER_GATES = {
     "ocr_spans_pdf_g4_media": _ocr_spans_pdf_g4_media,
     "audio_features": _audio_features,
     "pq_topk_adc": _pq_topk_adc,
+    "ivfpq_topk_probe_all": _ivfpq_topk_probe_all,
     "ocr_spans_jp2_media": _ocr_spans_jp2_media,
     "ocr_spans_pdf_media": _ocr_spans_pdf_media,
     "pdf_text_extract": _pdf_text_extract,

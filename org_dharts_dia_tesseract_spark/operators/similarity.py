@@ -216,20 +216,7 @@ def kmeans_centroids(embeddings: DataFrame, n_lists: int = 8,
               .limit(init_sample)
               .orderBy(id_col).collect())
     X = np.array([[float(v) for v in r[1]] for r in sample])   # id-sorted
-    seeds = [0]
-    d_min = ((X - X[0]) ** 2).sum(axis=1)
-    while len(seeds) < min(n_lists, len(X)):
-        nxt = int(np.argmax(d_min))            # first index == lowest id
-        seeds.append(nxt)
-        d_min = np.minimum(d_min, ((X - X[nxt]) ** 2).sum(axis=1))
-    C = X[seeds].copy()                        # (k, d)
-    for _ in range(n_iters):
-        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)              # first-index tie-break
-        for j in range(len(C)):
-            members = X[assign == j]
-            if len(members):
-                C[j] = members.mean(axis=0)
+    C = _kmeans_np(X, n_lists, n_iters)        # shared Lloyd core
     return [list(map(float, c)) for c in C]
 
 
@@ -490,6 +477,116 @@ def pq_topk_adc(embeddings: DataFrame, queries: DataFrame,
                         continue
                     out_q.append(qid)
                     out_v.append(int(ids[b]))
+                    out_s.append(float(s[b]))
+            yield pd.DataFrame({q_id_col: out_q, id_col: out_v,
+                                "adc_ip": out_s})
+
+    cand = embeddings.select(id_col, emb_col).mapInPandas(run, schema)
+    w = Window.partitionBy(q_id_col).orderBy(F.col("adc_ip").desc(),
+                                             F.col(id_col))
+    return (cand.withColumn("rk", F.row_number().over(w).cast("int"))
+            .where(F.col("rk") <= k))
+
+
+def _kmeans_np(X, k: int, n_iters: int = 3):
+    """Farthest-first init + Lloyd (first-index tie-breaks) — the numpy
+    core shared by the coarse quantizer and the oracle twin."""
+    import numpy as np
+    seeds = [0]
+    d_min = ((X - X[0]) ** 2).sum(axis=1)
+    while len(seeds) < min(k, len(X)):
+        nxt = int(np.argmax(d_min))
+        seeds.append(nxt)
+        d_min = np.minimum(d_min, ((X - X[nxt]) ** 2).sum(axis=1))
+    C = X[seeds].copy()
+    for _ in range(n_iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return C
+
+
+def _ivfpq_train_np(X, n_lists: int, m: int, ks: int):
+    """Coarse centroids + RESIDUAL-space PQ codebooks (faiss IVF-PQ
+    training shape): quantize x - centroid[assign(x)], not x."""
+    import numpy as np
+    C = _kmeans_np(X, n_lists)
+    assign = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(
+        axis=1)
+    residuals = X - C[assign]
+    books = _pq_train_np(residuals, m, ks)
+    return C, books
+
+
+def _ivfpq_encode_np(X, C, books):
+    import numpy as np
+    assign = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(
+        axis=1)
+    codes = _pq_encode_np(X - C[assign], books)
+    return assign, codes
+
+
+def ivfpq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+               n_lists: int = 8, nprobe: int = 8, m: int = 8,
+               ks: int = 16, id_col: str = "vec_id",
+               emb_col: str = "embedding", q_id_col: str = "q_id",
+               q_emb_col: str = "q_emb",
+               init_sample: int = 8192) -> DataFrame:
+    """The composed IVF-PQ read path: coarse assignment prunes which
+    vectors a query scores (nprobe of n_lists inverted lists), residual
+    PQ codes replace the vectors (d float32 -> m bytes), and scoring is
+    q.x ~ q.centroid[list] + ADC(q, residual codes) — constant per
+    (query, list) plus table lookups. ONE mapInPandas stage assigns,
+    encodes, probe-filters and emits local top-k per query; ONE window
+    exchange reduces globally. Training runs on a deterministic
+    id-ordered sample so the single-process oracle twin is exact."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    sample = (embeddings.select(id_col, emb_col)
+              .orderBy(id_col).limit(init_sample).collect())
+    Xs = _as_f64([list(r[1]) for r in sample])
+    C, books = _ivfpq_train_np(Xs, n_lists, m, ks)
+    qrows = queries.select(q_id_col, q_emb_col).orderBy(q_id_col).collect()
+    q_ids = [r[0] for r in qrows]
+    Q = _as_f64([list(r[1]) for r in qrows])
+    import numpy as np
+    # per-query probe set: nprobe nearest coarse centroids
+    qd = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    probe = {qid: set(np.argsort(qd[i], kind="stable")[:nprobe].tolist())
+             for i, qid in enumerate(q_ids)}
+    C_l, books_l = C.tolist(), [b.tolist() for b in books]
+    schema = T.StructType([
+        T.StructField(q_id_col, T.LongType(), False),
+        T.StructField(id_col, T.LongType(), False),
+        T.StructField("adc_ip", T.DoubleType(), False),
+    ])
+
+    def run(batches):
+        import numpy as np
+        Cn = np.array(C_l, dtype=np.float64)
+        Bn = [np.array(b, dtype=np.float64) for b in books_l]
+        Qn = _as_f64(Q)
+        for pdf in batches:
+            X = _as_f64(np.stack(pdf[emb_col].to_numpy()))
+            ids = pdf[id_col].to_numpy()
+            assign, codes = _ivfpq_encode_np(X, Cn, Bn)
+            out_q, out_v, out_s = [], [], []
+            for qi, qid in enumerate(q_ids):
+                mask = np.isin(assign, list(probe[qid]))
+                if not mask.any():
+                    continue
+                sub_ids = ids[mask]
+                s = (Cn[assign[mask]] @ Qn[qi]
+                     + _pq_adc_ip_np(Qn[qi], Bn, codes[mask]))
+                keep = np.lexsort((sub_ids, -s))[:k + 1]
+                for b in keep:
+                    if sub_ids[b] == qid:
+                        continue
+                    out_q.append(qid)
+                    out_v.append(int(sub_ids[b]))
                     out_s.append(float(s[b]))
             yield pd.DataFrame({q_id_col: out_q, id_col: out_v,
                                 "adc_ip": out_s})

@@ -565,6 +565,32 @@ def main() -> None:
         "adc_ip": pa.array([r["adc_ip"] for r in prows], pa.float64()),
         "rk": pa.array([r["rk"] for r in prows], pa.int32()),
     }))
+    # composed IVF-PQ twin (probe-all): coarse + residual codebooks on
+    # the same id-ordered sample; score = q.centroid + ADC(q, residual)
+    from org_dharts_dia_tesseract_spark.operators.similarity import (
+        _ivfpq_encode_np, _ivfpq_train_np)
+    C, rbooks = _ivfpq_train_np(X, n_lists=8, m=8, ks=16)
+    assign, rcodes = _ivfpq_encode_np(X, C, rbooks)
+    irows = []
+    for qid in [i for i in ids if i < 5]:
+        qi = int(np.nonzero(ids == qid)[0][0])
+        s = C[assign] @ X[qi] + _pq_adc_ip_np(X[qi], rbooks, rcodes)
+        keep = np.lexsort((ids, -s))
+        rk = 0
+        for b in keep:
+            if ids[b] == qid:
+                continue
+            rk += 1
+            if rk > 5:
+                break
+            irows.append({"q_id": int(qid), "vec_id": int(ids[b]),
+                          "adc_ip": float(s[b]), "rk": rk})
+    write("ivfpq_topk_probe_all", pa.table({
+        "q_id": pa.array([r["q_id"] for r in irows], pa.int64()),
+        "vec_id": pa.array([r["vec_id"] for r in irows], pa.int64()),
+        "adc_ip": pa.array([r["adc_ip"] for r in irows], pa.float64()),
+        "rk": pa.array([r["rk"] for r in irows], pa.int32()),
+    }))
     write("ocr_unlv_text", _unlv_table(hier))
     write("ocr_training_corpus", _training_table(spans))
     write("ocr_annotated_pages", _annotated_table(corpus, CAP_ANNOTATED))

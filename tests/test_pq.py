@@ -107,6 +107,48 @@ class TestPqOperator:
                 assert vec == ids[b]
                 assert ip == s[b]                 # bit-identical double
 
+    def test_ivfpq_pruning_recall_and_plan(self, spark):
+        """The composed path: pruned probes (nprobe=2) must agree with
+        probe-all on most of the top-k (the pruning approximation), and
+        the plan stays single-exchange/no-join."""
+        from org_dharts_dia_tesseract_spark.operators.similarity import (
+            ivfpq_topk)
+        from org_dharts_dia_tesseract_spark.sources.tables import \
+            load_table
+        from pyspark.sql import functions as F
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        qs = emb.where(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"))
+        full = ivfpq_topk(emb, qs, k=5, n_lists=8, nprobe=8)
+        pruned = ivfpq_topk(emb, qs, k=5, n_lists=8, nprobe=3)
+        f = {(r["q_id"], r["vec_id"]) for r in full.collect()}
+        p = {(r["q_id"], r["vec_id"]) for r in pruned.collect()}
+        assert len(f & p) / len(f) >= 0.5     # pruning keeps most hits
+        # assert the plan on an unexecuted frame: a collected AQE plan
+        # prints final+initial sections and double-counts the exchange
+        fresh = ivfpq_topk(emb, qs, k=5, n_lists=8, nprobe=3)
+        plan = fresh._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1 and "Join" not in plan
+
+    def test_ivfpq_residual_beats_plain_pq(self):
+        """Residual-space codebooks approximate clustered data better
+        than direct PQ at the same code budget (the reason IVF-PQ
+        quantizes x - centroid, not x)."""
+        from org_dharts_dia_tesseract_spark.operators.similarity import (
+            _ivfpq_encode_np, _ivfpq_train_np)
+        X = _corpus()
+        C, rbooks = _ivfpq_train_np(X, n_lists=6, m=4, ks=16)
+        assign, rcodes = _ivfpq_encode_np(X, C, rbooks)
+        sub = X.shape[1] // 4
+        rec_r = C[assign] + np.concatenate(
+            [rbooks[j][rcodes[:, j]] for j in range(4)], axis=1)
+        books = _pq_train_np(X, m=4, ks=16)
+        codes = _pq_encode_np(X, books)
+        rec_p = np.concatenate(
+            [books[j][codes[:, j]] for j in range(4)], axis=1)
+        assert ((X - rec_r) ** 2).mean() < ((X - rec_p) ** 2).mean()
+
     def test_single_shuffle_plan(self, spark):
         """Corpus side: scan -> mapInPandas (encode+score+local top-k)
         -> ONE exchange for the global window. No join, no second
