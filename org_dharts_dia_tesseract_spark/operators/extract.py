@@ -143,9 +143,12 @@ def _page_deadline(timeout_ms: int | None):
         if not timeout_ms:
             yield
             return
+        armed = [True]
+
         def on_alarm(signum, frame):
-            raise TimeoutError(
-                f"page exceeded time budget of {timeout_ms} ms")
+            if armed[0]:              # a late fire (work already done,
+                raise TimeoutError(   # cleanup underway) must not raise
+                    f"page exceeded time budget of {timeout_ms} ms")
         try:
             old = signal.signal(signal.SIGALRM, on_alarm)
         except ValueError:            # not the main thread: no budget
@@ -154,7 +157,13 @@ def _page_deadline(timeout_ms: int | None):
         signal.setitimer(signal.ITIMER_REAL, timeout_ms / 1000.0)
         try:
             yield
+            # the body completed: disarm BEFORE any cleanup so an alarm
+            # landing between the last body statement and setitimer(0)
+            # is ignored instead of misreporting a finished page as a
+            # timeout (the raise window shrinks to ~one bytecode)
+            armed[0] = False
         finally:
+            armed[0] = False
             signal.setitimer(signal.ITIMER_REAL, 0)
             signal.signal(signal.SIGALRM, old)
     return cm

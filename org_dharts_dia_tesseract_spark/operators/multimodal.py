@@ -107,6 +107,20 @@ def reencode_media(media: DataFrame, codec: str,
         raise ValueError(f"encodable codecs are {CODECS_REAL}, got {codec!r}")
     if dpi and codec not in ("bmp", "tiff", "png", "jpeg"):
         raise ValueError(f"codec {codec!r} has no resolution metadata field")
+    # format-specific flags on the wrong codec are caller bugs — fail
+    # loudly so a miswired gate can't silently test the wrong surface
+    _flag_owner = {"jpeg_subsampling": ("jpeg", jpeg_subsampling != "444"),
+                   "jpeg_progressive": ("jpeg", jpeg_progressive),
+                   "png_palette": ("png", png_palette),
+                   "png_interlace": ("png", png_interlace),
+                   "tiff_bits": ("tiff", tiff_bits != 8),
+                   "pdf_ccitt": ("pdf", pdf_ccitt),
+                   "compression": ("tiff", compression is not None),
+                   "packbits": ("tiff", packbits)}
+    for flag, (owner, is_set) in _flag_owner.items():
+        if is_set and codec != owner:
+            raise ValueError(f"{flag} applies to codec {owner!r}, "
+                             f"not {codec!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

