@@ -42,6 +42,28 @@ WARMUP_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP_DOCS", "3000"))
 # measured capacity ratios 2.1-3.9 on 4 of 5 rounds — the sandbox quota,
 # not the plan — and the one >=5 round scaled at 1.005.
 CAPACITY_MIN = float(os.environ.get("SPARK_GRAFT_BENCH_CAPACITY_MIN", "3.5"))
+# append-only cross-run ledger of scaling rounds: clean >=3.5x quota
+# windows open only every 5-30 min, so admitted rounds accumulate across
+# bench invocations and scripts/scaling_attempt.py runs; the reported
+# north-rule efficiency is the median over ALL admitted rounds on record
+LEDGER = os.path.join(REPO, "BENCH_scaling_attempts.jsonl")
+
+
+def _ledger_rows() -> list[dict]:
+    if not os.path.exists(LEDGER):
+        return []
+    with open(LEDGER) as f:
+        return [json.loads(l) for l in f if l.strip()]
+
+
+def _ledger_append(rows: list[dict]) -> None:
+    if not rows:
+        return
+    stamp = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    with open(LEDGER, "a") as f:
+        for r in rows:
+            f.write(json.dumps({**r, "source": "bench.py", "ts": stamp})
+                    + "\n")
 
 
 def _cores_of(master: str) -> int:
@@ -265,29 +287,47 @@ def main() -> None:
                 if row["admitted"]:
                     admitted.append(row["efficiency"])
             scaling["rounds"].append(row)
-        effs = admitted or sorted(
-            r["efficiency"] for r in scaling["rounds"] if "efficiency" in r)
-        if effs:
+        # persist this run's measured rounds, then report the median over
+        # every admitted round ON RECORD (this run + prior runs +
+        # scripts/scaling_attempt.py) — admission is always decided by
+        # the pre/post capacity probe before the efficiency is known, so
+        # accumulating across runs adds samples, not selection
+        _ledger_append([{**r, "pair": [lo, hi]}
+                        for r in scaling["rounds"] if not r.get("gated")])
+        ledger = _ledger_rows()
+        all_admitted = [r["efficiency"] for r in ledger
+                        if r.get("admitted") and "efficiency" in r]
+        scaling["pair"] = [lo, hi]
+        scaling["quota_limited"] = not admitted
+        scaling["capacity_min"] = CAPACITY_MIN
+        scaling["admitted_efficiencies"] = all_admitted
+        scaling["run_admitted_efficiencies"] = admitted
+        scaling["all_round_efficiencies"] = [
+            r.get("efficiency") for r in scaling["rounds"]]
+        scaling["round_capacities"] = [
+            r.get("capacity", r.get("capacity_pre"))
+            for r in scaling["rounds"]]
+        if all_admitted:
             import statistics
-            med = round(statistics.median(effs), 3)
-            # the MEDIAN admitted round is the reported one (admission is
-            # by pre/post capacity probe, never by the efficiency value);
-            # all rounds are recorded alongside it
-            rep = min((r for r in scaling["rounds"] if "efficiency" in r
-                       and (r.get("admitted") or not admitted)),
-                      key=lambda r: abs(r["efficiency"] - med))
-            scaling["pair"] = [lo, hi]
-            scaling[lo], scaling[hi] = rep[lo], rep[hi]
+            med = round(statistics.median(all_admitted), 3)
             scaling["efficiency"] = med
-            scaling["efficiency_stat"] = "median(admitted)"
-            scaling["quota_limited"] = not admitted
-            scaling["capacity_min"] = CAPACITY_MIN
-            scaling["admitted_efficiencies"] = admitted
-            scaling["all_round_efficiencies"] = [
-                r.get("efficiency") for r in scaling["rounds"]]
-            scaling["round_capacities"] = [
-                r.get("capacity", r.get("capacity_pre"))
-                for r in scaling["rounds"]]
+            scaling["efficiency_stat"] = "median(admitted, cross-run ledger)"
+            # displayed lo/hi throughputs: the admitted on-record round
+            # (with per-side detail) nearest the median
+            cands = [r for r in ledger if r.get("admitted")
+                     and isinstance(r.get(lo), dict)
+                     and "docs_per_sec" in r.get(lo, {})
+                     and isinstance(r.get(hi), dict)
+                     and "docs_per_sec" in r.get(hi, {})]
+            if cands:
+                rep = min(cands, key=lambda r: abs(r["efficiency"] - med))
+                scaling[lo], scaling[hi] = rep[lo], rep[hi]
+        else:
+            # no admitted round anywhere on record: publish NO efficiency
+            # number — a median over quota-rejected rounds measures the
+            # host's ceiling, not the plan (round-4 ADVICE)
+            scaling["efficiency"] = None
+            scaling["efficiency_stat"] = "no admitted rounds on record"
 
     result = {
         "metric": "total_headline_seconds",
@@ -304,16 +344,11 @@ def main() -> None:
 
     if os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "1") == "1":
         if SCALING:
-            md = os.path.join(REPO, "BENCH.md")
-            had_admitted = (os.path.exists(md)
-                            and "quota_limited=False" in open(md).read())
-            if scaling.get("quota_limited") and had_admitted:
-                # same pre-registered exception as _splice_md: a run the
-                # capacity probe refused wholesale refreshes the headline
-                # half only, keeping the admitted scaling record
-                _splice_md(result, keep="scaling")
-            else:
-                _write_bench_md(result)
+            # the scaling section now derives from the cross-run ledger
+            # (admitted history survives any single quota-limited run),
+            # so a full rewrite is always safe — the round-3/4 "keep the
+            # admitted record" splice special-case is obsolete
+            _write_bench_md(result)
         else:
             _splice_md(result, keep="scaling")   # headline-only refresh
     else:
@@ -328,6 +363,7 @@ def main() -> None:
             k: scaling[k] for k in
             ("pair", "efficiency", "efficiency_stat", "quota_limited",
              "capacity_min", "admitted_efficiencies",
+             "run_admitted_efficiencies",
              "all_round_efficiencies", "round_capacities")
             if k in scaling}
     print(json.dumps(slim))
@@ -338,36 +374,24 @@ def _splice_md(result: dict, keep: str) -> None:
     (head = everything before '## Scaling'; scaling = that section).
     The latest measurement always wins — BENCH.md is 'latest run', never
     best-of (round-1 ADVICE: one-way ratchets turn a noisy measurement
-    into cherry-picking) — with ONE pre-registered exception: a run
-    whose every scaling round was refused by the capacity probe
-    (quota_limited) does not replace a recorded run that had admitted
-    rounds. Admission is decided by the independent pre+post compute
-    probe before the efficiency is known, so this keeps the apples
-    (plan measurements) from being overwritten by oranges (quota
-    measurements); it is not an efficiency-value ratchet. With no
-    existing file, write the full report from this run."""
+    into cherry-picking). The scaling section itself derives from the
+    append-only cross-run ledger, so no overwrite can lose admitted
+    history. With no existing file, write the full report from this
+    run."""
     path = os.path.join(REPO, "BENCH.md")
     old = None
-    existing_admitted = False
     if os.path.exists(path):
         with open(path) as f:
             text = f.read()
         parts = text.split("\n## Scaling", 1)
-        existing_admitted = "quota_limited=False" in text
         if keep == "scaling" and len(parts) == 2:
             old = "\n## Scaling" + parts[1].rstrip() + "\n"
         elif keep == "head":
             old = parts[0].rstrip()
     sc = result.get("scaling") or {}
     if (keep == "head" and old is not None
-            and "efficiency" not in sc):
-        return   # scaling-only run measured nothing; keep the committed file
-    if (keep == "head" and old is not None
-            and sc.get("quota_limited") and existing_admitted):
-        print("splice: run fully quota-limited (no admitted rounds); "
-              "keeping the existing admitted scaling record",
-              file=sys.stderr)
-        return
+            and sc.get("efficiency") is None):
+        return   # no admitted rounds on record; keep the committed file
     _write_bench_md(result)
     if old is None:
         return   # fresh checkout: the full report from this run stands
@@ -402,26 +426,34 @@ def _write_bench_md(result: dict) -> None:
         "",
     ]
     lines += [f"- {k}: {v}" for k, v in result["queries"].items()]
-    if "efficiency" in sc:
+    if sc.get("efficiency") is not None:
         probe = sc.get("machine_probe", {})
         lo, hi = sc["pair"]
+        if isinstance(sc.get(lo), dict) and isinstance(sc.get(hi), dict):
+            side = [
+                f"- {lo}:  {sc[lo]['docs_per_sec']:.2f} docs/sec "
+                f"({sc[lo]['elapsed']:.2f} s)",
+                f"- {hi}: {sc[hi]['docs_per_sec']:.2f} docs/sec "
+                f"({sc[hi]['elapsed']:.2f} s)",
+            ]
+        else:
+            side = ["- (per-side throughput detail unavailable for the "
+                    "median admitted round)"]
         lines += [
             "",
             "## Scaling (north-rule evidence: N vs 4N parallelism, same input)",
             "",
-            f"- {lo}:  {sc[lo]['docs_per_sec']:.2f} docs/sec "
-            f"({sc[lo]['elapsed']:.2f} s)",
-            f"- {hi}: {sc[hi]['docs_per_sec']:.2f} docs/sec "
-            f"({sc[hi]['elapsed']:.2f} s)",
+            *side,
             f"- scaling efficiency (thr_4N/thr_N)/4 = **{sc['efficiency']}** "
-            f"(target >= 0.8; median of QUOTA-ADMITTED rounds "
+            f"(target >= 0.8; median of ALL QUOTA-ADMITTED rounds on "
+            f"record in BENCH_scaling_attempts.jsonl: "
             f"{sc.get('admitted_efficiencies')} — a round is admitted iff "
             f"an independent pre+post capacity probe shows the host "
             f"granted >= {sc.get('capacity_min')}x compute at 4x procs "
             f"while it ran, decided before the efficiency is computed; "
-            f"all measured rounds {sc.get('all_round_efficiencies')} at "
+            f"this run measured {sc.get('all_round_efficiencies')} at "
             f"capacities {sc.get('round_capacities')}; "
-            f"quota_limited={sc.get('quota_limited')})",
+            f"this_run_quota_limited={sc.get('quota_limited')})",
             "",
             f"{lo} vs {hi} is the measured N-vs-4N pair: this sandbox is "
             "a shared host whose CPU quota tops out near ~16-20 effective "

@@ -15,8 +15,29 @@ Scale shapes:
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
+
+# Default LSH band-bucket cap: a band bucket of B members yields ~B^2/2
+# candidate pairs in the self-join, so one degenerate key (boilerplate
+# shingles, a dirty band width) quadratic-blows a single task at web
+# scale. 512 members = ~131k pairs per bucket, far above any genuine
+# near-dup cluster a banded MinHash should resolve pairwise and far
+# below the task-killing regime; members of larger buckets are
+# boilerplate-like and belong to the exact line-dedup pass. Pass
+# max_bucket=None to explicitly disable the guard.
+DEFAULT_MAX_BUCKET = 512
+
+#: pyspark.sql.Observation from the most recent capped
+#: minhash_lsh_candidates plan (per driver process). After an action on
+#: the returned DataFrame, `.get` exposes {'dropped_buckets',
+#: 'dropped_rows', 'max_bucket_seen'} — the logged evidence that the
+#: production guard fired (or didn't).
+last_bucket_cap_observation = None
 
 
 def _h32(col: Column) -> Column:
@@ -69,7 +90,8 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", n_hashes: int = 8,
                            bands: int = 4,
-                           max_bucket: int | None = None) -> DataFrame:
+                           max_bucket: int | None = DEFAULT_MAX_BUCKET
+                           ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band.
 
     `max_bucket` is the production guard for 10^12-doc runs (the
@@ -79,7 +101,12 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     dropped before the self-join — their members are boilerplate-like
     and are better handled by the exact line-dedup pass anyway. The
     bucket-size count is one extra map-side-combinable agg on the same
-    key the self-join shuffles on."""
+    key the self-join shuffles on. ON BY DEFAULT (DEFAULT_MAX_BUCKET);
+    pass None to disable. Dropped-bucket counts are observed on the plan
+    (`last_bucket_cap_observation.get` after an action) and logged."""
+    if max_bucket is not None and max_bucket < 1:
+        raise ValueError(f"max_bucket must be >= 1 or None to disable "
+                         f"the cap, got {max_bucket}")
     rows_per_band = n_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, n_hashes)
     # ONE explode over the signature agg (a union of per-band selects
@@ -91,12 +118,25 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
         for b in range(bands)]
     all_bands = sig.select(
         F.col(id_col), F.explode(F.array(*band_keys)).alias("band_key"))
-    if max_bucket:
-        keep = (all_bands.groupBy("band_key")
-                .agg(F.count("*").alias("__n"))
-                .where(F.col("__n") <= max_bucket)
-                .select("band_key"))
+    if max_bucket is not None:
+        from pyspark.sql import Observation
+        global last_bucket_cap_observation
+        obs = Observation()
+        sizes = (all_bands.groupBy("band_key")
+                 .agg(F.count("*").alias("__n"))
+                 .observe(
+                     obs,
+                     F.sum(F.when(F.col("__n") > max_bucket, 1)
+                           .otherwise(0)).alias("dropped_buckets"),
+                     F.sum(F.when(F.col("__n") > max_bucket, F.col("__n"))
+                           .otherwise(0)).alias("dropped_rows"),
+                     F.max("__n").alias("max_bucket_seen")))
+        keep = sizes.where(F.col("__n") <= max_bucket).select("band_key")
         all_bands = all_bands.join(keep, "band_key")
+        last_bucket_cap_observation = obs
+        log.info("minhash_lsh_candidates: band-bucket cap active at "
+                 "max_bucket=%d; dropped-bucket counts observable via "
+                 "dedup.last_bucket_cap_observation.get", max_bucket)
     a, b = all_bands.alias("a"), all_bands.alias("b")
     return (a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))

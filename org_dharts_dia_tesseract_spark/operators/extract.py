@@ -29,6 +29,7 @@ Scale design (SURVEY sections 3.4 / 4.3):
 
 from __future__ import annotations
 
+import time
 from typing import Iterator
 
 import pandas as pd
@@ -154,7 +155,12 @@ def _page_deadline(timeout_ms: int | None):
         except ValueError:            # not the main thread: no budget
             yield
             return
-        signal.setitimer(signal.ITIMER_REAL, timeout_ms / 1000.0)
+        # ITIMER_REAL is process-wide: remember any timer another owner
+        # had running so exit RESTORES it (minus the time we consumed)
+        # instead of silently cancelling it
+        t0 = time.time()
+        prev_value, prev_interval = signal.setitimer(
+            signal.ITIMER_REAL, timeout_ms / 1000.0)
         try:
             yield
             # the body completed: disarm BEFORE any cleanup so an alarm
@@ -164,7 +170,14 @@ def _page_deadline(timeout_ms: int | None):
             armed[0] = False
         finally:
             armed[0] = False
-            signal.setitimer(signal.ITIMER_REAL, 0)
+            if prev_value > 0:
+                remaining = prev_value - (time.time() - t0)
+                # an expired-or-nearly-expired foreign timer fires (its
+                # handler is back in place below) on the next tick
+                signal.setitimer(signal.ITIMER_REAL,
+                                 max(remaining, 1e-6), prev_interval)
+            else:
+                signal.setitimer(signal.ITIMER_REAL, 0)
             signal.signal(signal.SIGALRM, old)
     return cm
 
@@ -359,7 +372,14 @@ def analyze_documents(documents: DataFrame, media: DataFrame, *,
                     f[c] = f[c].astype("boolean")
                 frames.append(f)
             if frames:
-                cat = pd.concat(frames, ignore_index=True)
+                import warnings
+                with warnings.catch_warnings():
+                    # pandas deprecates letting all-NA object columns
+                    # (e.g. a page whose every node lacks text) vote on
+                    # the concat result dtype; either behavior is fine
+                    # here because Arrow casts to HIERARCHY_SCHEMA below
+                    warnings.simplefilter("ignore", FutureWarning)
+                    cat = pd.concat(frames, ignore_index=True)
                 yield cat[[f.name for f in HIERARCHY_SCHEMA]]
 
     return rows.mapInPandas(run, HIERARCHY_SCHEMA)

@@ -380,12 +380,22 @@ def _pq_adc_ip_np(q, books, codes):
 def pq_train(embeddings: DataFrame, m: int = 8, ks: int = 16,
              id_col: str = "vec_id", emb_col: str = "embedding",
              init_sample: int = 8192) -> list:
-    """Train PQ codebooks on a deterministic id-ordered sample (ONE
+    """Train PQ codebooks on a deterministic hash-spread sample (ONE
     bounded distributed job; at 10^12 rows training never scans the
     corpus — only encode does, as a narrow broadcast-model map).
-    Returns nested lists (m x ks x d/m) for closure broadcast."""
+
+    The sample is the same xxhash64-ordered draw kmeans_centroids uses
+    (id-sorted afterwards so the k-center init is order-stable): a
+    lowest-id PREFIX would bias codebooks toward early vectors on
+    corpora larger than init_sample. For corpora <= init_sample the
+    sample is the whole corpus under either ordering, which is what
+    makes the single-process oracle twin (scripts/gen_expected.py,
+    trained on ALL vectors and asserting that bound) bit-exact at gate
+    scale. Returns nested lists (m x ks x d/m) for closure broadcast."""
     sample = (embeddings.select(id_col, emb_col)
-              .orderBy(id_col).limit(init_sample).collect())
+              .orderBy(F.xxhash64(F.col(id_col).cast("string")), id_col)
+              .limit(init_sample)
+              .orderBy(id_col).collect())
     X = _as_f64([list(r[1]) for r in sample])
     return [[list(map(float, row)) for row in C]
             for C in _pq_train_np(X, m, ks)]
@@ -524,12 +534,17 @@ def ivfpq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     q.x ~ q.centroid[list] + ADC(q, residual codes) — constant per
     (query, list) plus table lookups. ONE mapInPandas stage assigns,
     encodes, probe-filters and emits local top-k per query; ONE window
-    exchange reduces globally. Training runs on a deterministic
-    id-ordered sample so the single-process oracle twin is exact."""
+    exchange reduces globally. Training runs on the same deterministic
+    hash-spread, id-resorted sample as pq_train/kmeans_centroids (no
+    lowest-id prefix bias; == the whole corpus when it fits in
+    init_sample, which is what keeps the single-process oracle twin
+    exact at gate scale)."""
     import pandas as pd
     from pyspark.sql import types as T
     sample = (embeddings.select(id_col, emb_col)
-              .orderBy(id_col).limit(init_sample).collect())
+              .orderBy(F.xxhash64(F.col(id_col).cast("string")), id_col)
+              .limit(init_sample)
+              .orderBy(id_col).collect())
     Xs = _as_f64([list(r[1]) for r in sample])
     C, books = _ivfpq_train_np(Xs, n_lists, m, ks)
     qrows = queries.select(q_id_col, q_emb_col).orderBy(q_id_col).collect()

@@ -2,7 +2,7 @@
 __spark_entry__ registry entries: SQL parity vs DuckDB where an oracle
 exists, rows-only otherwise. Run before shipping a round:
 
-    python scripts/check_gate.py [sf_dir]
+    python scripts/check_gate.py [sf_dir] [--only name1,name2]
 """
 
 from __future__ import annotations
@@ -23,10 +23,21 @@ def main() -> None:
 
     from org_dharts_dia_tesseract_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:]]
+    only: set[str] | None = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        del args[i:i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     spark = get_spark("local[16]", app_name="check-gate",
                       shuffle_partitions=16)
     qs, oq = entry.queries(), entry.oracle_sql()
+    if only:
+        missing = only - set(qs)
+        if missing:
+            sys.exit(f"--only names not in the registry: {sorted(missing)}")
+        qs = {k: v for k, v in qs.items() if k in only}
     con = duck_con(sf_dir)
     results: dict[str, dict] = {}
     for i, name in enumerate(qs):

@@ -543,6 +543,15 @@ def main() -> None:
     order = np.argsort(et["vec_id"].to_numpy())
     ids = et["vec_id"].to_numpy()[order]
     X = _as_f64([et["embedding"][int(i)].as_py() for i in order])
+    # this twin trains on ALL vectors; the Spark side trains on a
+    # hash-spread sample capped at init_sample=8192, and the two train
+    # on the same set only while the corpus fits the cap — fail loudly
+    # (rather than hash-mismatch bafflingly) if a bigger sf breaks that
+    assert len(X) <= 8192, (
+        f"embeddings corpus ({len(X)} rows) exceeds the Spark side's "
+        "init_sample=8192: the all-vector oracle twin no longer matches "
+        "sample-trained PQ/IVF-PQ; regenerate at a smaller sf or raise "
+        "init_sample in the gate queries")
     books = _pq_train_np(X, m=8, ks=16)
     codes = _pq_encode_np(X, books)
     prows = []

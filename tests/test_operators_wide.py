@@ -743,6 +743,34 @@ def test_connected_components_non_convergence_raises(spark):
     assert {r["cluster_id"] for r in ok} == {0}
 
 
+def test_page_deadline_restores_foreign_timer():
+    """ITIMER_REAL is process-wide: _page_deadline must hand back any
+    timer another owner had running (shrunk by the time it consumed),
+    not cancel it on exit (round-4 advice)."""
+    import signal
+    from org_dharts_dia_tesseract_spark.operators.extract import \
+        _page_deadline
+    fired: list[int] = []
+    old_handler = signal.signal(signal.SIGALRM,
+                                lambda *a: fired.append(1))
+    try:
+        signal.setitimer(signal.ITIMER_REAL, 5.0)   # foreign timer
+        with _page_deadline(50)():
+            pass                                    # fast body
+        remaining, interval = signal.getitimer(signal.ITIMER_REAL)
+        assert 0 < remaining <= 5.0, "foreign timer was cancelled"
+        assert interval == 0.0
+        assert not fired
+        # and with no foreign timer, exit leaves the timer disarmed
+        signal.setitimer(signal.ITIMER_REAL, 0)
+        with _page_deadline(50)():
+            pass
+        assert signal.getitimer(signal.ITIMER_REAL) == (0.0, 0.0)
+    finally:
+        signal.setitimer(signal.ITIMER_REAL, 0)
+        signal.signal(signal.SIGALRM, old_handler)
+
+
 def test_minhash_bucket_cap_drops_degenerate_buckets(spark):
     """max_bucket: a 6-member identical-text bucket would emit 15 pairs;
     capped at 3 it is dropped entirely while small buckets survive."""
@@ -751,7 +779,38 @@ def test_minhash_bucket_cap_drops_degenerate_buckets(spark):
             + [("x1", "totally unique first document text body"),
                ("x2", "totally unique first document text body")])
     df = spark.createDataFrame(rows, ["doc_id", "text"])
-    uncapped = D.minhash_lsh_candidates(df).count()
+    uncapped = D.minhash_lsh_candidates(df, max_bucket=None).count()
     got = D.minhash_lsh_candidates(df, max_bucket=3).collect()
     assert {(r["id_a"], r["id_b"]) for r in got} == {("x1", "x2")}
     assert uncapped > len(got)
+    # the guard is ON by default (round-4 verdict: an opt-in cap guards
+    # nothing at 10^12 docs), at a ceiling far above genuine buckets
+    assert D.DEFAULT_MAX_BUCKET >= 64
+    default_pairs = D.minhash_lsh_candidates(df).count()
+    assert default_pairs == uncapped   # 6-member bucket << default cap
+
+
+def test_minhash_bucket_cap_observation_logs_drops(spark):
+    """The capped plan observes its drop counts: after an action,
+    dedup.last_bucket_cap_observation.get reports how many band buckets
+    (and member rows) the guard removed and the largest bucket seen."""
+    rows = ([(f"d{i}", "the same boilerplate words repeated here")
+             for i in range(6)]
+            + [("x1", "totally unique first document text body"),
+               ("x2", "totally unique first document text body")])
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    D.minhash_lsh_candidates(df, max_bucket=3).count()
+    got = D.last_bucket_cap_observation.get
+    assert got["dropped_buckets"] > 0
+    assert got["dropped_rows"] >= got["dropped_buckets"] * 4
+    assert got["max_bucket_seen"] == 6
+
+
+def test_minhash_bucket_cap_rejects_nonpositive(spark):
+    """max_bucket=0 must raise, not silently disable the guard (the
+    opposite of the caller's plain intent)."""
+    df = spark.createDataFrame([("a", "x y z")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="max_bucket"):
+        D.minhash_lsh_candidates(df, max_bucket=0)
+    with pytest.raises(ValueError, match="max_bucket"):
+        D.minhash_lsh_candidates(df, max_bucket=-1)
