@@ -397,3 +397,37 @@ def audio_row_for(audio_ref: str) -> dict:
         "bits": bits,
         "payload": encode_wav(pcm, rate, bits=bits),
     }
+
+
+def video_row_for(video_ref: str) -> dict:
+    """One deterministic synthetic MJPEG-in-AVI clip keyed by ref: 3-8
+    greyscale frames (48x64) of a dark block sweeping across a light
+    page — enough luma structure that per-frame features vary — each
+    frame JPEG-encoded by the from-scratch codec, packed into a RIFF/AVI
+    container (codecs_avi). The video analog of media_row_for /
+    audio_row_for: opaque binary payload + typed metadata."""
+    from .codecs_avi import encode_avi_mjpeg
+    from .codecs_img import ENCODERS
+    rng = np.random.default_rng(_seed_from("video:" + video_ref))
+    w, h = 64, 48
+    n_frames = int(rng.integers(3, 9))
+    fps = int(rng.integers(5, 16))
+    bg = int(rng.integers(200, 246))
+    fg = int(rng.integers(10, 60))
+    bw = int(rng.integers(12, 28))
+    bh = int(rng.integers(10, 22))
+    y0 = int(rng.integers(0, h - bh))
+    frames = []
+    for i in range(n_frames):
+        img = np.full((h, w), bg, dtype=np.uint8)
+        x0 = (i * max(1, (w - bw) // max(n_frames - 1, 1)))
+        img[y0:y0 + bh, x0:x0 + bw] = fg
+        frames.append(ENCODERS["jpeg"](img))
+    return {
+        "video_ref": video_ref,
+        "width": w,
+        "height": h,
+        "fps": fps,
+        "n_frames": n_frames,
+        "payload": encode_avi_mjpeg(frames, w, h, fps),
+    }

@@ -278,6 +278,78 @@ def frame_sample(documents: DataFrame, media: DataFrame,
     return kept.join(media, "media_ref")
 
 
+VIDEO_FEATURES_SCHEMA = T.StructType([
+    T.StructField("video_ref", T.StringType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),
+    T.StructField("n_frames", T.IntegerType(), False),
+    T.StructField("width", T.IntegerType(), False),
+    T.StructField("height", T.IntegerType(), False),
+    T.StructField("fps", T.IntegerType(), False),
+    T.StructField("mean_luma", T.DoubleType(), False),
+    T.StructField("ink_ratio", T.DoubleType(), False),
+])
+
+
+def video_frame_features(video: DataFrame, every_k: int = 1) -> DataFrame:
+    """Per-sampled-frame features over opaque MJPEG-in-AVI payloads
+    (the task-brief video tier, real container path next to
+    frame_sample's span-sequence model): decode the RIFF/AVI container
+    + its JPEG frames with the from-scratch codecs (codecs_avi ->
+    codecs_img), keep every k-th frame, emit luma/ink stats — the same
+    avi_frame_features kernel the single-process oracle runs, so
+    values are bit-identical. One narrow mapInPandas stage, zero
+    shuffles; payloads never leave their scan partition — the shape
+    that holds at 100 TB of video."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..codecs_avi import avi_frame_features
+        for pdf in batches:
+            out = {f.name: [] for f in VIDEO_FEATURES_SCHEMA}
+            for r in pdf.itertuples(index=False):
+                for feats in avi_frame_features(r.payload, every_k):
+                    out["video_ref"].append(r.video_ref)
+                    for k, v in feats.items():
+                        out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return video.select("video_ref", "payload").mapInPandas(
+        run, VIDEO_FEATURES_SCHEMA)
+
+
+def split_video_frames(media: DataFrame, every_k: int = 1) -> DataFrame:
+    """AVI container split (the video analog of split_tiff_pages): rows
+    whose payload sniffs as RIFF/AVI explode into one RAW row per
+    sampled frame (media_ref gains '#f<i>', payload becomes the decoded
+    raster), ready for the OCR/feature stages; every other row passes
+    through unchanged. mapInPandas, 1:N within the batch."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..codecs_avi import decode_avi_mjpeg
+        for pdf in batches:
+            out = {f.name: [] for f in RESIZE_SCHEMA}
+
+            def emit(ref, w, h, b, payload):
+                out["media_ref"].append(ref)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["bands"].append(b)
+                out["payload"].append(payload)
+
+            for r in pdf.itertuples(index=False):
+                pay = bytes(r.payload)
+                if pay[:4] == b"RIFF" and pay[8:12] == b"AVI ":
+                    frames, w, h, _fps = decode_avi_mjpeg(pay)
+                    for i, img in enumerate(frames):
+                        if i % every_k:
+                            continue
+                        b = 1 if img.ndim == 2 else img.shape[2]
+                        emit(f"{r.media_ref}#f{i}", w, h, b, img.tobytes())
+                    continue
+                emit(r.media_ref, r.width, r.height, r.bands, r.payload)
+            yield pd.DataFrame(out)
+
+    return media.select("media_ref", "width", "height", "bands",
+                        "payload").mapInPandas(run, RESIZE_SCHEMA)
+
+
 AUDIO_FEATURES_SCHEMA = T.StructType([
     T.StructField("audio_ref", T.StringType(), False),
     T.StructField("n_samples", T.IntegerType(), False),

@@ -594,3 +594,139 @@ def ivfpq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                                              F.col(id_col))
     return (cand.withColumn("rk", F.row_number().over(w).cast("int"))
             .where(F.col("rk") <= k))
+
+
+# -- persisted IVF-PQ index: write once, query many -----------------------
+#
+# ivfpq_topk re-trains and re-ENCODES the corpus inside every query call —
+# fine for one-shot batches, a full decode+encode scan per batch at
+# 100 TB. The write/read pair below is the faiss-on-disk shape: encode
+# ONCE into (id, list_id, pq_code) partitioned by list_id (d float32 ->
+# m bytes, a ~32x read-volume reduction), then every query batch reads
+# ONLY its probed list_id partitions (PartitionFilters at the parquet
+# scan) and scores STORED codes — no encode stage in the read plan.
+
+def ivfpq_write_index(embeddings: DataFrame, path: str, n_lists: int = 8,
+                      m: int = 8, ks: int = 16, id_col: str = "vec_id",
+                      emb_col: str = "embedding",
+                      init_sample: int = 8192) -> tuple[list, list]:
+    """Persist an IVF-PQ index: coarse-assign + residual-PQ-encode the
+    corpus in ONE narrow mapInPandas (models ride the closure), write
+    partitionBy(list_id), and store the model (coarse centroids +
+    residual codebooks) as a one-line JSON text dataset at
+    `<path>/_model` through Spark's writer (works on hdfs://, s3://).
+    Training runs on the same hash-spread bounded sample as
+    pq_train/kmeans_centroids — zero full-corpus passes beyond the one
+    encode scan. Returns (centroids, codebooks) as nested lists."""
+    import json
+
+    from pyspark.sql import types as T
+    sample = (embeddings.select(id_col, emb_col)
+              .orderBy(F.xxhash64(F.col(id_col).cast("string")), id_col)
+              .limit(init_sample)
+              .orderBy(id_col).collect())
+    Xs = _as_f64([list(r[1]) for r in sample])
+    C, books = _ivfpq_train_np(Xs, n_lists, m, ks)
+    C_l = [list(map(float, c)) for c in C]
+    books_l = [[list(map(float, row)) for row in b] for b in books]
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType(), False),
+        T.StructField("pq_code", T.ArrayType(T.IntegerType()), False),
+        T.StructField("list_id", T.IntegerType(), False),
+    ])
+
+    def run(batches):
+        import numpy as np
+        Cn = np.array(C_l, dtype=np.float64)
+        Bn = [np.array(b, dtype=np.float64) for b in books_l]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = _as_f64(np.stack(pdf[emb_col].to_numpy()))
+            assign, codes = _ivfpq_encode_np(X, Cn, Bn)
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "pq_code": list(codes),
+                                "list_id": assign.astype("int32")})
+
+    (embeddings.select(id_col, emb_col).mapInPandas(run, schema)
+     .write.mode("overwrite").partitionBy("list_id").parquet(path))
+    spark = embeddings.sparkSession
+    model = json.dumps({"centroids": C_l, "codebooks": books_l})
+    spark.createDataFrame([(model,)], "value string") \
+        .coalesce(1).write.mode("overwrite").text(f"{path}/_model")
+    return C_l, books_l
+
+
+def ivfpq_topk_indexed(spark, path: str, queries: DataFrame, k: int = 5,
+                       nprobe: int = 2, id_col: str = "vec_id",
+                       q_id_col: str = "q_id",
+                       q_emb_col: str = "q_emb") -> DataFrame:
+    """Top-k against a persisted IVF-PQ index with NO re-encode: the
+    probed list_id filter lands on the index's partition column (only
+    nprobe/n_lists of the stored codes are ever READ — PartitionFilters
+    in the scan, pinned by tests/test_pq.py), and scoring runs over the
+    STORED pq_code column — score = q.centroid[list] + ADC(q, residual
+    codes), bit-identical to ivfpq_topk on the same model. One
+    mapInPandas over the pruned scan with local top-k per batch
+    (global tie-break: score desc, id asc), ONE exchange for the final
+    window. Queries collect to the driver (small by contract, like IVF
+    probe sets)."""
+    import json
+
+    import numpy as np
+    from pyspark.sql import types as T
+    rows = spark.read.text(f"{path}/_model").collect()
+    model = json.loads("".join(r["value"] for r in rows))
+    C_l, books_l = model["centroids"], model["codebooks"]
+    C = np.array(C_l, dtype=np.float64)
+    qrows = queries.select(q_id_col, q_emb_col).orderBy(q_id_col).collect()
+    q_ids = [r[0] for r in qrows]
+    Q = _as_f64([list(r[1]) for r in qrows])
+    qd = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    probe = {qid: np.argsort(qd[i], kind="stable")[:nprobe].tolist()
+             for i, qid in enumerate(q_ids)}
+    probe_lists = sorted({int(l) for ls in probe.values() for l in ls})
+    Q_l = Q.tolist()
+    schema = T.StructType([
+        T.StructField(q_id_col, T.LongType(), False),
+        T.StructField(id_col, T.LongType(), False),
+        T.StructField("adc_ip", T.DoubleType(), False),
+    ])
+
+    def run(batches):
+        import numpy as np
+        Cn = np.array(C_l, dtype=np.float64)
+        Bn = [np.array(b, dtype=np.float64) for b in books_l]
+        Qn = _as_f64(Q_l)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            assign = pdf["list_id"].to_numpy()
+            codes = np.stack(pdf["pq_code"].to_numpy()).astype(np.int64)
+            out_q, out_v, out_s = [], [], []
+            for qi, qid in enumerate(q_ids):
+                mask = np.isin(assign, probe[qid])
+                if not mask.any():
+                    continue
+                sub_ids = ids[mask]
+                s = (Cn[assign[mask]] @ Qn[qi]
+                     + _pq_adc_ip_np(Qn[qi], Bn, codes[mask]))
+                keep = np.lexsort((sub_ids, -s))[:k + 1]
+                for b in keep:
+                    if sub_ids[b] == qid:
+                        continue
+                    out_q.append(qid)
+                    out_v.append(int(sub_ids[b]))
+                    out_s.append(float(s[b]))
+            yield pd.DataFrame({q_id_col: out_q, id_col: out_v,
+                                "adc_ip": out_s})
+
+    index = (spark.read.parquet(path)
+             .where(F.col("list_id").isin(probe_lists))
+             .select(id_col, "pq_code", "list_id"))
+    cand = index.mapInPandas(run, schema)
+    w = Window.partitionBy(q_id_col).orderBy(F.col("adc_ip").desc(),
+                                             F.col(id_col))
+    return (cand.withColumn("rk", F.row_number().over(w).cast("int"))
+            .where(F.col("rk") <= k))

@@ -532,6 +532,33 @@ def main() -> None:
         "zero_crossing_rate": pa.array(
             [r["zero_crossing_rate"] for r in arows], pa.float64()),
     }))
+    # video tier: single-process twin of operators.multimodal.
+    # video_frame_features over the same deterministic MJPEG-in-AVI
+    # clips (shared codecs_avi.avi_frame_features kernel, every 2nd
+    # frame -> bit-identical doubles)
+    from org_dharts_dia_tesseract_spark.codecs_avi import \
+        avi_frame_features
+    from org_dharts_dia_tesseract_spark.datagen import video_row_for
+    vrows = []
+    for i in range(CAP_MEDIA):
+        ref = f"vid-{i:08d}"
+        for feats in avi_frame_features(video_row_for(ref)["payload"],
+                                        every_k=2):
+            vrows.append({"video_ref": ref, **feats})
+    write("video_frame_features", pa.table({
+        "video_ref": pa.array([r["video_ref"] for r in vrows],
+                              pa.string()),
+        "frame_idx": pa.array([r["frame_idx"] for r in vrows],
+                              pa.int32()),
+        "n_frames": pa.array([r["n_frames"] for r in vrows], pa.int32()),
+        "width": pa.array([r["width"] for r in vrows], pa.int32()),
+        "height": pa.array([r["height"] for r in vrows], pa.int32()),
+        "fps": pa.array([r["fps"] for r in vrows], pa.int32()),
+        "mean_luma": pa.array([r["mean_luma"] for r in vrows],
+                              pa.float64()),
+        "ink_ratio": pa.array([r["ink_ratio"] for r in vrows],
+                              pa.float64()),
+    }))
     # PQ ANN twin: same numpy kernels (similarity._pq_*_np) over the
     # same embeddings parquet; like html_main_content this expectation
     # is per-sf (trained on the sf dir's vectors; default sf0.01 = the
@@ -599,6 +626,35 @@ def main() -> None:
         "vec_id": pa.array([r["vec_id"] for r in irows], pa.int64()),
         "adc_ip": pa.array([r["adc_ip"] for r in irows], pa.float64()),
         "rk": pa.array([r["rk"] for r in irows], pa.int32()),
+    }))
+    # persisted-index twin (nprobe=2 of 8): same model as above, but
+    # each query scores ONLY vectors assigned to its 2 nearest coarse
+    # lists — the pruning the Spark side realizes as list_id
+    # PartitionFilters over stored codes (no re-encode)
+    xrows = []
+    for qid in [i for i in ids if i < 5]:
+        qi = int(np.nonzero(ids == qid)[0][0])
+        qd = ((C - X[qi]) ** 2).sum(axis=1)
+        plists = np.argsort(qd, kind="stable")[:2]
+        mask = np.isin(assign, plists)
+        sub_ids = ids[mask]
+        s = C[assign[mask]] @ X[qi] + _pq_adc_ip_np(X[qi], rbooks,
+                                                    rcodes[mask])
+        keep = np.lexsort((sub_ids, -s))
+        rk = 0
+        for b in keep:
+            if sub_ids[b] == qid:
+                continue
+            rk += 1
+            if rk > 5:
+                break
+            xrows.append({"q_id": int(qid), "vec_id": int(sub_ids[b]),
+                          "adc_ip": float(s[b]), "rk": rk})
+    write("ivfpq_indexed_topk", pa.table({
+        "q_id": pa.array([r["q_id"] for r in xrows], pa.int64()),
+        "vec_id": pa.array([r["vec_id"] for r in xrows], pa.int64()),
+        "adc_ip": pa.array([r["adc_ip"] for r in xrows], pa.float64()),
+        "rk": pa.array([r["rk"] for r in xrows], pa.int32()),
     }))
     write("ocr_unlv_text", _unlv_table(hier))
     write("ocr_training_corpus", _training_table(spans))

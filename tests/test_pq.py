@@ -149,6 +149,63 @@ class TestPqOperator:
             [books[j][codes[:, j]] for j in range(4)], axis=1)
         assert ((X - rec_r) ** 2).mean() < ((X - rec_p) ** 2).mean()
 
+    def test_indexed_probe_all_bit_equals_in_memory(self, spark,
+                                                    tmp_path):
+        """The persisted read path (stored codes, model sidecar) at
+        nprobe=n_lists must reproduce the in-memory composed path
+        bit-exactly — same training sample, same kernels, so the only
+        difference is WHERE the codes live."""
+        from org_dharts_dia_tesseract_spark.operators.similarity import (
+            ivfpq_topk, ivfpq_topk_indexed, ivfpq_write_index)
+        from org_dharts_dia_tesseract_spark.sources.tables import \
+            load_table
+        from pyspark.sql import functions as F
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        qs = emb.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"))
+        path = str(tmp_path / "ivfpq_index")
+        ivfpq_write_index(emb, path, n_lists=8, m=8, ks=16)
+        mem = {(r["q_id"], r["rk"]): (r["vec_id"], r["adc_ip"])
+               for r in ivfpq_topk(emb, qs, k=4, n_lists=8,
+                                   nprobe=8).collect()}
+        idx = {(r["q_id"], r["rk"]): (r["vec_id"], r["adc_ip"])
+               for r in ivfpq_topk_indexed(spark, path, qs, k=4,
+                                           nprobe=8).collect()}
+        assert idx == mem                     # bit-identical doubles
+
+    def test_indexed_plan_prunes_and_never_encodes(self, spark,
+                                                   tmp_path):
+        """The read plan must (a) prune at the parquet scan via
+        PartitionFilters on list_id — only probed lists are READ —
+        (b) read codes, never the embedding column (no encode stage:
+        exactly one MapInPandas, the scorer), (c) keep the single
+        window exchange, no join."""
+        from org_dharts_dia_tesseract_spark.operators.similarity import (
+            ivfpq_topk_indexed, ivfpq_write_index)
+        from org_dharts_dia_tesseract_spark.sources.tables import \
+            load_table
+        from pyspark.sql import functions as F
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        qs = emb.where(F.col("vec_id") < 2).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"))
+        path = str(tmp_path / "ivfpq_index")
+        ivfpq_write_index(emb, path, n_lists=8, m=8, ks=16)
+        df = ivfpq_topk_indexed(spark, path, qs, k=3, nprobe=2)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        import re
+        pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+        assert "list_id" in pf and "IN" in pf.upper()
+        assert plan.count("MapInPandas") == 1      # scorer only
+        assert "embedding" not in plan             # codes, not vectors
+        assert plan.count("Exchange") == 1 and "Join" not in plan
+        # and the pruned result is a real approximation of probe-all:
+        # fewer lists scanned, rows still k per query
+        got = df.collect()
+        assert {r["q_id"] for r in got} == {0, 1}
+
     def test_single_shuffle_plan(self, spark):
         """Corpus side: scan -> mapInPandas (encode+score+local top-k)
         -> ONE exchange for the global window. No join, no second
