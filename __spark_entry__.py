@@ -41,9 +41,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _ocr_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship gate. page_timeout_ms=60s arms the per-page soft
+    deadline (TessAPI.java:464-481 timeout_millisec analog) on every
+    page without ever firing at gate scale (pages cost ~1 ms), so the
+    driver exercises the arm/disarm/restore path too — output is
+    identical to the unbudgeted run."""
     from org_dharts_dia_tesseract_spark.operators import extract_spans
     docs, media = _interleaved_corpus(spark, sf_dir, _PIPELINE_DOC_CAP)
-    return extract_spans(docs, media)
+    return extract_spans(docs, media, page_timeout_ms=60_000)
 
 
 def _ocr_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
