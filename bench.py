@@ -56,14 +56,33 @@ def _ledger_rows() -> list[dict]:
         return [json.loads(l) for l in f if l.strip()]
 
 
-def _ledger_append(rows: list[dict]) -> None:
+def _ledger_append(rows: list[dict], source: str = "bench.py") -> None:
     if not rows:
         return
     stamp = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
     with open(LEDGER, "a") as f:
         for r in rows:
-            f.write(json.dumps({**r, "source": "bench.py", "ts": stamp})
+            f.write(json.dumps({**r, "source": source, "ts": stamp})
                     + "\n")
+
+
+def _ledger_admitted(pair: list[str]) -> list[dict]:
+    """Admitted rounds on record that are COMMENSURABLE with the current
+    protocol: same master pair, same corpus size (rows predating the
+    scale_docs stamp ran the long-standing 40000-doc default), and
+    admission RE-DERIVED from the stored capacity against the current
+    CAPACITY_MIN — a historical flag decided under a laxer threshold
+    must not smuggle a round into a stricter run's median."""
+    out = []
+    for r in _ledger_rows():
+        if r.get("pair") != pair or "efficiency" not in r:
+            continue
+        if r.get("scale_docs", 40000) != SCALE_DOCS:
+            continue
+        cap = r.get("capacity")
+        if cap is not None and cap >= CAPACITY_MIN:
+            out.append(r)
+    return out
 
 
 def _cores_of(master: str) -> int:
@@ -292,11 +311,10 @@ def main() -> None:
         # scripts/scaling_attempt.py) — admission is always decided by
         # the pre/post capacity probe before the efficiency is known, so
         # accumulating across runs adds samples, not selection
-        _ledger_append([{**r, "pair": [lo, hi]}
+        _ledger_append([{**r, "pair": [lo, hi], "scale_docs": SCALE_DOCS}
                         for r in scaling["rounds"] if not r.get("gated")])
-        ledger = _ledger_rows()
-        all_admitted = [r["efficiency"] for r in ledger
-                        if r.get("admitted") and "efficiency" in r]
+        adm_rows = _ledger_admitted([lo, hi])
+        all_admitted = [r["efficiency"] for r in adm_rows]
         scaling["pair"] = [lo, hi]
         scaling["quota_limited"] = not admitted
         scaling["capacity_min"] = CAPACITY_MIN
@@ -314,8 +332,8 @@ def main() -> None:
             scaling["efficiency_stat"] = "median(admitted, cross-run ledger)"
             # displayed lo/hi throughputs: the admitted on-record round
             # (with per-side detail) nearest the median
-            cands = [r for r in ledger if r.get("admitted")
-                     and isinstance(r.get(lo), dict)
+            cands = [r for r in adm_rows
+                     if isinstance(r.get(lo), dict)
                      and "docs_per_sec" in r.get(lo, {})
                      and isinstance(r.get(hi), dict)
                      and "docs_per_sec" in r.get(hi, {})]

@@ -100,9 +100,11 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     can quadratic-blow a single task. Buckets larger than max_bucket are
     dropped before the self-join — their members are boilerplate-like
     and are better handled by the exact line-dedup pass anyway. The
-    bucket-size count is one extra map-side-combinable agg on the same
-    key the self-join shuffles on. ON BY DEFAULT (DEFAULT_MAX_BUCKET);
-    pass None to disable. Dropped-bucket counts are observed on the plan
+    bucket size is a window count over band_key — the SAME key (and
+    hence the same exchange) the self-join shuffles on, so the cap
+    costs no extra scan of the signature subtree and no extra join.
+    ON BY DEFAULT (DEFAULT_MAX_BUCKET); pass None to disable.
+    Dropped-bucket counts are observed on the plan
     (`last_bucket_cap_observation.get` after an action) and logged."""
     if max_bucket is not None and max_bucket < 1:
         raise ValueError(f"max_bucket must be >= 1 or None to disable "
@@ -122,17 +124,21 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
         from pyspark.sql import Observation
         global last_bucket_cap_observation
         obs = Observation()
-        sizes = (all_bands.groupBy("band_key")
-                 .agg(F.count("*").alias("__n"))
+        over = F.col("__n") > max_bucket
+        first = F.col("__rn") == 1
+        sized = (all_bands
+                 .withColumn("__n", F.count("*").over(
+                     Window.partitionBy("band_key")))
+                 .withColumn("__rn", F.row_number().over(
+                     Window.partitionBy("band_key").orderBy(id_col)))
                  .observe(
                      obs,
-                     F.sum(F.when(F.col("__n") > max_bucket, 1)
-                           .otherwise(0)).alias("dropped_buckets"),
-                     F.sum(F.when(F.col("__n") > max_bucket, F.col("__n"))
-                           .otherwise(0)).alias("dropped_rows"),
+                     F.sum(F.when(over & first, 1).otherwise(0))
+                     .alias("dropped_buckets"),
+                     F.sum(F.when(over, 1).otherwise(0))
+                     .alias("dropped_rows"),
                      F.max("__n").alias("max_bucket_seen")))
-        keep = sizes.where(F.col("__n") <= max_bucket).select("band_key")
-        all_bands = all_bands.join(keep, "band_key")
+        all_bands = sized.where(~over).drop("__n", "__rn")
         last_bucket_cap_observation = obs
         log.info("minhash_lsh_candidates: band-bucket cap active at "
                  "max_bucket=%d; dropped-bucket counts observable via "

@@ -156,9 +156,10 @@ def _page_deadline(timeout_ms: int | None):
             yield
             return
         # ITIMER_REAL is process-wide: remember any timer another owner
-        # had running so exit RESTORES it (minus the time we consumed)
+        # had running so exit RESTORES it (minus the time we consumed,
+        # on the monotonic clock — wall time can step under NTP)
         # instead of silently cancelling it
-        t0 = time.time()
+        t0 = time.monotonic()
         prev_value, prev_interval = signal.setitimer(
             signal.ITIMER_REAL, timeout_ms / 1000.0)
         try:
@@ -170,15 +171,16 @@ def _page_deadline(timeout_ms: int | None):
             armed[0] = False
         finally:
             armed[0] = False
+            signal.setitimer(signal.ITIMER_REAL, 0)
+            # foreign handler FIRST, only then re-arm the foreign timer:
+            # an expired-or-nearly-expired foreign timer must fire into
+            # ITS handler, not into on_alarm (which, disarmed, would
+            # swallow the signal and lose the foreign alarm for good)
+            signal.signal(signal.SIGALRM, old)
             if prev_value > 0:
-                remaining = prev_value - (time.time() - t0)
-                # an expired-or-nearly-expired foreign timer fires (its
-                # handler is back in place below) on the next tick
+                remaining = prev_value - (time.monotonic() - t0)
                 signal.setitimer(signal.ITIMER_REAL,
                                  max(remaining, 1e-6), prev_interval)
-            else:
-                signal.setitimer(signal.ITIMER_REAL, 0)
-            signal.signal(signal.SIGALRM, old)
     return cm
 
 

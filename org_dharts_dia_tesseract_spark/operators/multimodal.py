@@ -321,6 +321,9 @@ def split_video_frames(media: DataFrame, every_k: int = 1) -> DataFrame:
     sampled frame (media_ref gains '#f<i>', payload becomes the decoded
     raster), ready for the OCR/feature stages; every other row passes
     through unchanged. mapInPandas, 1:N within the batch."""
+    if every_k < 1:       # fail on the driver, not deep in an executor
+        raise ValueError("every_k must be >= 1")
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..codecs_avi import decode_avi_mjpeg
         for pdf in batches:

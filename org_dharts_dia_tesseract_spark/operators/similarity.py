@@ -193,6 +193,23 @@ def _nearest_list(emb: Column, centroids: list[list[float]]) -> Column:
     return _nearest_list_udf(centroids)(emb)
 
 
+def _train_sample(embeddings: DataFrame, id_col: str, emb_col: str,
+                  init_sample: int) -> list:
+    """THE deterministic bounded training draw shared by every
+    sample-trained model here (coarse k-means, PQ, IVF-PQ, persisted
+    index): hash-spread over the corpus (xxhash64 order breaks the
+    lowest-id-prefix bias on corpora larger than init_sample), then
+    re-sorted by id so downstream farthest-first inits are
+    order-stable. For corpora <= init_sample this is the whole corpus
+    id-sorted under ANY draw — the invariant that keeps the
+    single-process oracle twins (trained on all vectors) bit-exact at
+    gate scale. One bounded distributed job; returns collected rows."""
+    return (embeddings.select(id_col, emb_col)
+            .orderBy(F.xxhash64(F.col(id_col).cast("string")), id_col)
+            .limit(init_sample)
+            .orderBy(id_col).collect())
+
+
 def kmeans_centroids(embeddings: DataFrame, n_lists: int = 8,
                      n_iters: int = 3, id_col: str = "vec_id",
                      emb_col: str = "embedding",
@@ -211,10 +228,7 @@ def kmeans_centroids(embeddings: DataFrame, n_lists: int = 8,
     keep their previous centroid; assignment tie-break = first index,
     matching `_nearest_list`'s argmin."""
     import numpy as np
-    sample = (embeddings.select(id_col, emb_col)
-              .orderBy(F.xxhash64(F.col(id_col).cast("string")), id_col)
-              .limit(init_sample)
-              .orderBy(id_col).collect())
+    sample = _train_sample(embeddings, id_col, emb_col, init_sample)
     X = np.array([[float(v) for v in r[1]] for r in sample])   # id-sorted
     C = _kmeans_np(X, n_lists, n_iters)        # shared Lloyd core
     return [list(map(float, c)) for c in C]
@@ -392,10 +406,7 @@ def pq_train(embeddings: DataFrame, m: int = 8, ks: int = 16,
     makes the single-process oracle twin (scripts/gen_expected.py,
     trained on ALL vectors and asserting that bound) bit-exact at gate
     scale. Returns nested lists (m x ks x d/m) for closure broadcast."""
-    sample = (embeddings.select(id_col, emb_col)
-              .orderBy(F.xxhash64(F.col(id_col).cast("string")), id_col)
-              .limit(init_sample)
-              .orderBy(id_col).collect())
+    sample = _train_sample(embeddings, id_col, emb_col, init_sample)
     X = _as_f64([list(r[1]) for r in sample])
     return [[list(map(float, row)) for row in C]
             for C in _pq_train_np(X, m, ks)]
@@ -541,10 +552,7 @@ def ivfpq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     exact at gate scale)."""
     import pandas as pd
     from pyspark.sql import types as T
-    sample = (embeddings.select(id_col, emb_col)
-              .orderBy(F.xxhash64(F.col(id_col).cast("string")), id_col)
-              .limit(init_sample)
-              .orderBy(id_col).collect())
+    sample = _train_sample(embeddings, id_col, emb_col, init_sample)
     Xs = _as_f64([list(r[1]) for r in sample])
     C, books = _ivfpq_train_np(Xs, n_lists, m, ks)
     qrows = queries.select(q_id_col, q_emb_col).orderBy(q_id_col).collect()
@@ -621,10 +629,7 @@ def ivfpq_write_index(embeddings: DataFrame, path: str, n_lists: int = 8,
     import json
 
     from pyspark.sql import types as T
-    sample = (embeddings.select(id_col, emb_col)
-              .orderBy(F.xxhash64(F.col(id_col).cast("string")), id_col)
-              .limit(init_sample)
-              .orderBy(id_col).collect())
+    sample = _train_sample(embeddings, id_col, emb_col, init_sample)
     Xs = _as_f64([list(r[1]) for r in sample])
     C, books = _ivfpq_train_np(Xs, n_lists, m, ks)
     C_l = [list(map(float, c)) for c in C]

@@ -27,6 +27,8 @@ def main() -> None:
     only: set[str] | None = None
     if "--only" in args:
         i = args.index("--only")
+        if i + 1 >= len(args):
+            sys.exit("usage: check_gate.py [sf_dir] [--only name1,name2]")
         only = set(args[i + 1].split(","))
         del args[i:i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"

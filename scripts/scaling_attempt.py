@@ -6,10 +6,11 @@ clean >= 3.5x window only every 5-30 min, so a single bench invocation
 rarely lands 3). This script is the accumulator: it runs the SAME
 pre-registered protocol as bench.py's scaling loop — pre-probe, lo/hi
 flagship runs in fresh JVMs, post-probe, admission iff
-min(pre, post) >= CAPACITY_MIN, decided before the efficiency is seen —
-and appends ONE JSON line per measured round to the append-only ledger
-BENCH_scaling_attempts.jsonl at the repo root. bench.py folds the
-ledger's admitted efficiencies into the reported median.
+min(pre, post) >= bench.CAPACITY_MIN, decided before the efficiency is
+seen — and appends ONE JSON line per measured round to the shared
+append-only ledger (bench.LEDGER / bench._ledger_append, so the row
+format and location have a single definition). bench.py folds the
+ledger's commensurable admitted efficiencies into the reported median.
 
 Usage:
     python scripts/scaling_attempt.py            # probe; run iff clean
@@ -30,20 +31,6 @@ sys.path.insert(0, REPO)
 
 import bench  # noqa: E402
 
-LEDGER = os.path.join(REPO, "BENCH_scaling_attempts.jsonl")
-
-
-def ledger_rows() -> list[dict]:
-    if not os.path.exists(LEDGER):
-        return []
-    with open(LEDGER) as f:
-        return [json.loads(l) for l in f if l.strip()]
-
-
-def admitted_efficiencies() -> list[float]:
-    return [r["efficiency"] for r in ledger_rows()
-            if r.get("admitted") and "efficiency" in r]
-
 
 def run_round(force: bool = False) -> dict:
     lo, hi = "local[2]", "local[8]"
@@ -56,7 +43,7 @@ def run_round(force: bool = False) -> dict:
         return row
     # alternate run order across recorded (measured) rounds so quota drift
     # inflates half and deflates the other half — same rule as bench.py
-    measured = sum(1 for r in ledger_rows() if not r.get("gated"))
+    measured = sum(1 for r in bench._ledger_rows() if not r.get("gated"))
     order = (lo, hi) if measured % 2 == 0 else (hi, lo)
     row["run_order"] = list(order)
     for master in order:
@@ -82,11 +69,10 @@ def run_round(force: bool = False) -> dict:
 def main() -> None:
     force = "--force" in sys.argv
     row = run_round(force=force)
-    row["ts"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
     if not row.get("gated"):
-        with open(LEDGER, "a") as f:
-            f.write(json.dumps(row) + "\n")
-    adm = admitted_efficiencies()
+        bench._ledger_append([row], source="scaling_attempt.py")
+    adm = [r["efficiency"]
+           for r in bench._ledger_admitted(["local[2]", "local[8]"])]
     print(json.dumps({"round": row.get("efficiency"),
                       "admitted": row.get("admitted"),
                       "gated": row.get("gated", False),
