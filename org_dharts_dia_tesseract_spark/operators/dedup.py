@@ -298,9 +298,11 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     current label crosses its edges and min-aggregates. Rounds needed =
     graph diameter, and near-dup clusters are dense (diameter 1-3), so
     the loop converges in 2-4 rounds; max_iter only guards adversarial
-    chains (for those, the large-star/small-star rewrite of
-    Kiveris et al., "Connected Components in MapReduce and Beyond",
-    SoCC'14, drops in — same join shape, quadratic contraction).
+    chains — for those use `connected_components_star` (below), the
+    large-star/small-star contraction of Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14: O(log n) rounds
+    regardless of diameter, same output contract (pinned equivalent
+    by tests).
 
     Scale shape: per round ONE shuffle join (edges x labels, both keyed
     on node id) + ONE min-agg (map-side combinable); labels are
@@ -337,5 +339,75 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
         # contraction cited above rather than raising max_iter)
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
-            "(graph diameter exceeds max_iter)")
+            "(graph diameter exceeds max_iter; use "
+            "connected_components_star for deep graphs)")
     return labels.select("id", F.col("comp").alias("cluster_id"))
+
+
+def connected_components_star(pairs: DataFrame, src: str = "id_a",
+                              dst: str = "id_b",
+                              max_iter: int = 30) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) -> (id, cluster_id), cluster_id = component min.
+
+    The escape hatch `connected_components` documents: hash-min label
+    propagation needs O(diameter) rounds, so an adversarially deep pair
+    graph (a 10^6-link near-dup chain from overlapping shingled crawl
+    snapshots) would exhaust any fixed round budget. The star rewrite
+    contracts the graph toward star shape in O(log n) alternating
+    rounds regardless of diameter:
+
+    - LARGE-STAR: per node u over the symmetric adjacency, connect every
+      strictly-larger neighbor to m = min(N(u) + {u});
+    - SMALL-STAR: per node u over edges oriented (large, small), connect
+      u and its smaller neighbors to their minimum.
+
+    Both steps are one groupBy + one join each (the same shapes hash-min
+    uses); the edge set is localCheckpoint'ed per round so lineage stays
+    flat; convergence = the oriented edge set reaching a fixed point,
+    detected with exceptAll().limit(1) probes (no full counts beyond
+    one per round). Equivalence with the hash-min implementation is
+    pinned by tests; at web scale prefer this variant whenever cluster
+    diameter is unknown."""
+    u, v, m = F.col("u"), F.col("v"), F.col("m")
+    e = (pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .where(u != v))
+    # orient (large, small) once; the loop preserves the orientation
+    e = (e.select(F.greatest(u, v).alias("u"), F.least(u, v).alias("v"))
+         .distinct().localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        # large-star over the symmetric adjacency
+        sym = e.union(e.select(v.alias("u"), u.alias("v")))
+        mins = (sym.groupBy("u").agg(F.min("v").alias("__mn"))
+                .select("u", F.least(F.col("__mn"), u).alias("m")))
+        large = (sym.join(mins, "u").where(v > u)
+                 .select(F.greatest(v, m).alias("u"),
+                         F.least(v, m).alias("v"))
+                 .where(F.col("u") != F.col("v")).distinct())
+        # small-star over the oriented edges (u > v throughout)
+        smins = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (large.join(smins, "u")
+                 .select(F.explode(F.array(
+                     F.struct(v.alias("a"), m.alias("b")),
+                     F.struct(u.alias("a"), m.alias("b")))).alias("p"))
+                 .select(F.greatest(F.col("p.a"), F.col("p.b")).alias("u"),
+                         F.least(F.col("p.a"), F.col("p.b")).alias("v"))
+                 .where(F.col("u") != F.col("v")).distinct()
+                 .localCheckpoint(eager=True))
+        changed = (small.exceptAll(e).limit(1).count()
+                   or e.exceptAll(small).limit(1).count())
+        e = small
+        if not changed:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "alternating rounds")
+    # fixed point is a star forest: every non-root has exactly one edge
+    # to its component min; roots label themselves
+    members = e.select(u.alias("id"), v.alias("cluster_id"))
+    roots = (e.select(v.alias("id")).distinct()
+             .join(e.select(u.alias("id")).distinct(), "id", "left_anti")
+             .select("id", F.col("id").alias("cluster_id")))
+    return members.union(roots)

@@ -290,7 +290,31 @@ VIDEO_FEATURES_SCHEMA = T.StructType([
 ])
 
 
-def video_frame_features(video: DataFrame, every_k: int = 1) -> DataFrame:
+#: Observation from the most recent 'drop'-policy feature plan (per
+#: driver process): after an action, `.get` exposes {'dropped_payloads'}
+#: — the logged evidence of how many corrupt clips the job skipped.
+last_decode_error_observation = None
+
+
+def _with_drop_observation(df: DataFrame) -> DataFrame:
+    """Attach a dropped-payload counter to a feature stage that emits
+    `__err` marker rows (1 per undecodable payload), then filter the
+    markers out. The count survives in
+    `last_decode_error_observation.get` after any action — corrupt
+    clips at 10^12 rows are a data-quality fact to surface, not an
+    exception to die on (same policy as extract's dead-letter spans and
+    the LSH cap's dropped-bucket observation)."""
+    from pyspark.sql import Observation
+    global last_decode_error_observation
+    obs = Observation()
+    observed = df.observe(
+        obs, F.sum(F.col("__err")).alias("dropped_payloads"))
+    last_decode_error_observation = obs
+    return observed.where(F.col("__err") == 0).drop("__err")
+
+
+def video_frame_features(video: DataFrame, every_k: int = 1,
+                         on_error: str = "fail") -> DataFrame:
     """Per-sampled-frame features over opaque MJPEG-in-AVI payloads
     (the task-brief video tier, real container path next to
     frame_sample's span-sequence model): decode the RIFF/AVI container
@@ -299,20 +323,46 @@ def video_frame_features(video: DataFrame, every_k: int = 1) -> DataFrame:
     avi_frame_features kernel the single-process oracle runs, so
     values are bit-identical. One narrow mapInPandas stage, zero
     shuffles; payloads never leave their scan partition — the shape
-    that holds at 100 TB of video."""
+    that holds at 100 TB of video.
+
+    on_error: 'fail' raises on an undecodable payload (strict,
+    default); 'drop' skips it and counts it in
+    `last_decode_error_observation` — one corrupt clip must not kill a
+    10^12-row job, and the skip count stays visible."""
+    if on_error not in ("fail", "drop"):
+        raise ValueError(f"on_error must be 'fail' or 'drop', "
+                         f"got {on_error!r}")
+    schema = VIDEO_FEATURES_SCHEMA
+    if on_error == "drop":
+        schema = T.StructType(
+            list(VIDEO_FEATURES_SCHEMA)
+            + [T.StructField("__err", T.IntegerType(), False)])
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..codecs_avi import avi_frame_features
         for pdf in batches:
-            out = {f.name: [] for f in VIDEO_FEATURES_SCHEMA}
+            out = {f.name: [] for f in schema}
             for r in pdf.itertuples(index=False):
-                for feats in avi_frame_features(r.payload, every_k):
+                try:
+                    feats_rows = avi_frame_features(r.payload, every_k)
+                except Exception:   # noqa: BLE001 — policy boundary
+                    if on_error == "fail":
+                        raise
+                    out["video_ref"].append(r.video_ref)
+                    for f in VIDEO_FEATURES_SCHEMA[1:]:
+                        out[f.name].append(0)
+                    out["__err"].append(1)
+                    continue
+                for feats in feats_rows:
                     out["video_ref"].append(r.video_ref)
                     for k, v in feats.items():
                         out[k].append(v)
+                    if on_error == "drop":
+                        out["__err"].append(0)
             yield pd.DataFrame(out)
 
-    return video.select("video_ref", "payload").mapInPandas(
-        run, VIDEO_FEATURES_SCHEMA)
+    feats = video.select("video_ref", "payload").mapInPandas(run, schema)
+    return _with_drop_observation(feats) if on_error == "drop" else feats
 
 
 def split_video_frames(media: DataFrame, every_k: int = 1) -> DataFrame:
@@ -365,23 +415,47 @@ AUDIO_FEATURES_SCHEMA = T.StructType([
 ])
 
 
-def audio_features(audio: DataFrame) -> DataFrame:
+def audio_features(audio: DataFrame, on_error: str = "fail") -> DataFrame:
     """Signal features over opaque WAV payloads (the task-brief audio
     tier): per-clip duration / RMS / peak / zero-crossing-rate via the
     from-scratch RIFF/PCM codec (codecs_wav.wav_features — the same
     kernel the single-process oracle runs, so values are bit-identical).
     One narrow mapInPandas stage, zero shuffles; payloads never leave
-    their scan partition — the shape that holds at 100 TB of audio."""
+    their scan partition — the shape that holds at 100 TB of audio.
+
+    on_error: 'fail' raises on an undecodable payload (strict,
+    default); 'drop' skips it and counts it in
+    `last_decode_error_observation` (see video_frame_features)."""
+    if on_error not in ("fail", "drop"):
+        raise ValueError(f"on_error must be 'fail' or 'drop', "
+                         f"got {on_error!r}")
+    schema = AUDIO_FEATURES_SCHEMA
+    if on_error == "drop":
+        schema = T.StructType(
+            list(AUDIO_FEATURES_SCHEMA)
+            + [T.StructField("__err", T.IntegerType(), False)])
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..codecs_wav import wav_features
         for pdf in batches:
-            out = {f.name: [] for f in AUDIO_FEATURES_SCHEMA}
+            out = {f.name: [] for f in schema}
             for r in pdf.itertuples(index=False):
-                feats = wav_features(r.payload)
+                try:
+                    feats = wav_features(r.payload)
+                except Exception:   # noqa: BLE001 — policy boundary
+                    if on_error == "fail":
+                        raise
+                    out["audio_ref"].append(r.audio_ref)
+                    for f in AUDIO_FEATURES_SCHEMA[1:]:
+                        out[f.name].append(0)
+                    out["__err"].append(1)
+                    continue
                 out["audio_ref"].append(r.audio_ref)
                 for k, v in feats.items():
                     out[k].append(v)
+                if on_error == "drop":
+                    out["__err"].append(0)
             yield pd.DataFrame(out)
 
-    return audio.select("audio_ref", "payload").mapInPandas(
-        run, AUDIO_FEATURES_SCHEMA)
+    feats = audio.select("audio_ref", "payload").mapInPandas(run, schema)
+    return _with_drop_observation(feats) if on_error == "drop" else feats

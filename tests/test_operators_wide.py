@@ -743,6 +743,34 @@ def test_connected_components_non_convergence_raises(spark):
     assert {r["cluster_id"] for r in ok} == {0}
 
 
+def test_star_components_match_hashmin(spark):
+    """large-star/small-star contraction must produce exactly the
+    hash-min labels on an arbitrary pair graph (two components + a
+    triangle + an isolated edge)."""
+    pairs = spark.createDataFrame(
+        [(1, 5), (5, 9), (9, 1), (3, 7), (7, 11), (20, 21)],
+        ["id_a", "id_b"])
+    hm = {(r["id"], r["cluster_id"])
+          for r in D.connected_components(pairs).collect()}
+    st = {(r["id"], r["cluster_id"])
+          for r in D.connected_components_star(pairs).collect()}
+    assert st == hm
+    assert {c for _, c in st} == {1, 3, 20}
+
+
+def test_star_components_handle_deep_chains(spark):
+    """The escape hatch's reason to exist: a 64-link chain needs 64
+    hash-min rounds (the 25-round budget fails typed) but only
+    O(log n) alternating star rounds."""
+    chain = spark.createDataFrame([(i, i + 1) for i in range(64)],
+                                  ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(chain, max_iter=25)
+    got = D.connected_components_star(chain, max_iter=12).collect()
+    assert len(got) == 65
+    assert all(r["cluster_id"] == 0 for r in got)
+
+
 def test_page_deadline_restores_foreign_timer():
     """ITIMER_REAL is process-wide: _page_deadline must hand back any
     timer another owner had running (shrunk by the time it consumed),

@@ -134,6 +134,36 @@ class TestVideoOperator:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") <= 1
 
+    def test_on_error_drop_skips_and_counts(self, spark):
+        """A corrupt payload must not kill the job under
+        on_error='drop': its rows vanish and the skip is counted in
+        the observation; under the default 'fail' it raises."""
+        from org_dharts_dia_tesseract_spark.operators import multimodal as M
+        from pyspark.sql.utils import PythonException
+        v = video_row_for("vid-00000002")
+        rows = [("ok", bytearray(v["payload"])),
+                ("bad", bytearray(b"RIFF\x08\x00\x00\x00AVI corrupt"))]
+        df = spark.createDataFrame(rows, "video_ref string, payload binary")
+        got = M.video_frame_features(df, every_k=2,
+                                     on_error="drop").collect()
+        assert {r["video_ref"] for r in got} == {"ok"}
+        assert M.last_decode_error_observation.get["dropped_payloads"] == 1
+        with pytest.raises(PythonException):
+            M.video_frame_features(df, every_k=2).collect()
+        with pytest.raises(ValueError, match="on_error"):
+            M.video_frame_features(df, on_error="ignore")
+
+    def test_audio_on_error_drop(self, spark):
+        from org_dharts_dia_tesseract_spark.datagen import audio_row_for
+        from org_dharts_dia_tesseract_spark.operators import multimodal as M
+        a = audio_row_for("aud-00000001")
+        rows = [("ok", bytearray(a["payload"])),
+                ("bad", bytearray(b"RIFF\x04\x00\x00\x00WAVE"))]
+        df = spark.createDataFrame(rows, "audio_ref string, payload binary")
+        got = M.audio_features(df, on_error="drop").collect()
+        assert {r["audio_ref"] for r in got} == {"ok"}
+        assert M.last_decode_error_observation.get["dropped_payloads"] == 1
+
     def test_split_video_frames(self, spark):
         """AVI rows explode into raw per-frame rows (#f<i>), non-AVI
         rows pass through untouched — the container path of the
