@@ -449,15 +449,18 @@ def _ocr_spans_lang_hin(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round (never had a driver row); (1) entries whose round-4 rewrite was
 # never driver-verified (they sat at positions 51-52 of the round-4
 # list); (2) round-4-green entries whose code changed THIS round
-# (hash-spread PQ training sample; output-invariant at gate scale but
-# re-verified anyway); (3) the round-3-green backlog. The registry is
-# 102 entries, so 52 sit past the cap: 48 are round-4-green (1 round
-# stale) and 4 are round-3-green (2 rounds stale — ocr_training_corpus,
+# (hash-spread PQ training sample; audio_features' on_error='drop'
+# policy; output-invariant at gate scale but re-verified anyway);
+# (3) the round-3-green backlog. The registry is
+# 102 entries, so 52 sit past the cap: 47 are round-4-green (1 round
+# stale) and 5 are round-3-green (2 rounds stale — ocr_training_corpus,
 # ocr_annotated_pages, ocr_word_font_attrs, rollup_orders_by_status,
-# chosen because their code AND oracles are unchanged since their last
-# green and an in-window sibling exercises the same code path: the
-# extract/pipeline stages via ocr_extract_spans + ocr_hierarchy, font
-# attrs via ocr_hierarchy, rollup aggs via cube_revenue_nation_status).
+# ocr_tiff_merge — chosen because their code AND oracles are unchanged
+# since their last green and an in-window sibling exercises the same
+# code path: the extract/pipeline stages via ocr_extract_spans +
+# ocr_hierarchy, font attrs via ocr_hierarchy, rollup aggs via
+# cube_revenue_nation_status, the TIFF writer via the in-window tiff
+# decode gates' shared codec).
 # Everything past the cap is green in scripts/check_gate.py locally;
 # COVERAGE.md carries the auditable ledger.
 _PRIORITY = [
@@ -466,7 +469,7 @@ _PRIORITY = [
     # (1) round-4 rewrites never driver-verified
     "ntile_price_quartiles", "dedup_clusters",
     # (2) round-4-green, code changed this round
-    "pq_topk_adc", "ivfpq_topk_probe_all",
+    "pq_topk_adc", "ivfpq_topk_probe_all", "audio_features",
     # (3) round-3-green backlog (44 of 48; see header for the 4 left out)
     "ocr_extract_spans", "ocr_hierarchy", "ocr_layout_only",
     "html_main_content", "winnow_fingerprints", "pii_scrub",
@@ -485,8 +488,12 @@ _PRIORITY = [
     "ocr_spans_deflate_media", "ocr_spans_png_media",
     "ocr_spans_gif_media", "ocr_spans_jpeg_media", "ocr_spans_jp2_media",
     "ocr_spans_pdf_media", "pdf_text_extract", "ocr_spans_lang_hin",
-    "ocr_unlv_text", "ocr_page_osd", "ocr_tiff_merge",
+    "ocr_unlv_text", "ocr_page_osd",
     # ---- 50-entry driver cap lands here ----
+    # round-3-green deferred to make room for audio_features' changed
+    # code (the on_error='drop' policy): the TIFF merge sink's writer is
+    # exercised in-window by the tiff decode gates' shared codec
+    "ocr_tiff_merge",
     # round-3-green entries deliberately deferred (2 rounds stale,
     # rationale in the header comment)
     "ocr_training_corpus", "ocr_annotated_pages", "ocr_word_font_attrs",
