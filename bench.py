@@ -360,7 +360,14 @@ def main() -> None:
         "scaling": scaling,
     }
 
-    if os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "1") == "1":
+    if _sf_label(SF_DIR) != "0.1":
+        # quick-check run at a non-headline sf (local iteration,
+        # verification): print the JSON line but never rewrite BENCH.md
+        # — it records the sf0.1 headline run, and an sf0.01 smoke run
+        # clobbering it is how the round-4 "dirty BENCH.md" regression
+        # happened
+        pass
+    elif os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "1") == "1":
         if SCALING:
             # the scaling section now derives from the cross-run ledger
             # (admitted history survives any single quota-limited run),
