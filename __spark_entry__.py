@@ -452,20 +452,22 @@ def _ocr_spans_lang_hin(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (hash-spread PQ training sample; audio_features' on_error='drop'
 # policy; output-invariant at gate scale but re-verified anyway);
 # (3) the round-3-green backlog. The registry is
-# 102 entries, so 52 sit past the cap: 47 are round-4-green (1 round
-# stale) and 5 are round-3-green (2 rounds stale — ocr_training_corpus,
+# 103 entries, so 53 sit past the cap: 47 are round-4-green (1 round
+# stale) and 6 are round-3-green (2 rounds stale — ocr_training_corpus,
 # ocr_annotated_pages, ocr_word_font_attrs, rollup_orders_by_status,
-# ocr_tiff_merge — chosen because their code AND oracles are unchanged
+# ocr_tiff_merge, embedding_norms — chosen because their code AND
+# oracles are unchanged
 # since their last green and an in-window sibling exercises the same
 # code path: the extract/pipeline stages via ocr_extract_spans +
 # ocr_hierarchy, font attrs via ocr_hierarchy, rollup aggs via
 # cube_revenue_nation_status, the TIFF writer via the in-window tiff
-# decode gates' shared codec).
+# decode gates' shared codec, the embeddings scan via the four
+# in-window ANN gates).
 # Everything past the cap is green in scripts/check_gate.py locally;
 # COVERAGE.md carries the auditable ledger.
 _PRIORITY = [
     # (0) new this round
-    "video_frame_features", "ivfpq_indexed_topk",
+    "video_frame_features", "ivfpq_indexed_topk", "dedup_clusters_star",
     # (1) round-4 rewrites never driver-verified
     "ntile_price_quartiles", "dedup_clusters",
     # (2) round-4-green, code changed this round
@@ -474,7 +476,7 @@ _PRIORITY = [
     "ocr_extract_spans", "ocr_hierarchy", "ocr_layout_only",
     "html_main_content", "winnow_fingerprints", "pii_scrub",
     "type_token_ratio", "tfidf_top_terms", "doc_fingerprint",
-    "embedding_norms", "similarity_topk_cosine",
+    "similarity_topk_cosine",
     "anti_join_idle_customers", "semi_join_active_parts",
     "events_pivot_counts", "set_ops_buyers_vs_eventusers",
     "range_join_error_after_signup", "minby_cheapest_part_per_brand",
@@ -490,10 +492,13 @@ _PRIORITY = [
     "ocr_spans_pdf_media", "pdf_text_extract", "ocr_spans_lang_hin",
     "ocr_unlv_text", "ocr_page_osd",
     # ---- 50-entry driver cap lands here ----
-    # round-3-green deferred to make room for audio_features' changed
-    # code (the on_error='drop' policy): the TIFF merge sink's writer is
-    # exercised in-window by the tiff decode gates' shared codec
-    "ocr_tiff_merge",
+    # round-3-greens deferred to make room for changed/new round-5 code
+    # (audio_features' on_error='drop'; dedup_clusters_star): the TIFF
+    # merge writer is exercised in-window by the tiff decode gates'
+    # shared codec, and embedding_norms' trivial per-row norm rides the
+    # same embeddings scan that four in-window ANN gates traverse with
+    # far stronger checks
+    "ocr_tiff_merge", "embedding_norms",
     # round-3-green entries deliberately deferred (2 rounds stale,
     # rationale in the header comment)
     "ocr_training_corpus", "ocr_annotated_pages", "ocr_word_font_attrs",

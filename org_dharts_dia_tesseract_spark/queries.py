@@ -2335,6 +2335,12 @@ def dedup_clusters(spark, sf_dir):
     from .operators.dedup import connected_components
     pairs = minhash_lsh_pairs(spark, sf_dir)
     labels = connected_components(pairs, "doc_a", "doc_b")
+    return _cluster_report(labels)
+
+
+def _cluster_report(labels):
+    """(id, cluster_id) labels -> the gate's (doc_id, cluster_id,
+    cluster_size, is_canonical) report shared by both CC variants."""
     sizes = labels.groupBy("cluster_id") \
         .agg(F.count("*").cast("bigint").alias("cluster_size"))
     return (labels.join(sizes, "cluster_id")
@@ -2343,3 +2349,20 @@ def dedup_clusters(spark, sf_dir):
                     "cluster_size",
                     (F.col("id") == F.col("cluster_id"))
                      .alias("is_canonical")))
+
+
+@q("dedup_clusters_star", _REGISTRY["dedup_clusters"][1])
+def dedup_clusters_star(spark, sf_dir):
+    """The same transitive near-duplicate clusters computed by the
+    OTHER distributed algorithm: alternating large-star/small-star
+    contraction (Kiveris et al. SoCC'14, operators.dedup.
+    connected_components_star) instead of hash-min label propagation.
+    O(log n) rounds regardless of component diameter — the variant a
+    10^12-doc job should run when cluster diameter is unknown (a crawl's
+    near-dup chains can be arbitrarily deep). Oracle: the identical
+    recursive transitive-closure CTE as dedup_clusters, so the driver
+    verifies a THIRD independent algorithm agrees on every label."""
+    from .operators.dedup import connected_components_star
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    labels = connected_components_star(pairs, "doc_a", "doc_b")
+    return _cluster_report(labels)
