@@ -403,6 +403,28 @@ def _audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(audio_table(spark, 200))
 
 
+def _audio_features_drop_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 corrupt-payload policy, driver-verified end-to-end: the
+    same 200 deterministic clips PLUS two injected undecodable payloads
+    (truncated RIFF header; non-RIFF bytes), run with on_error='drop'.
+    One corrupt clip must not kill a 10^12-row job: the corrupt rows
+    vanish (counted on the plan via multimodal.
+    last_decode_error_observation) and the survivors must hash
+    bit-identically to the CLEAN single-process expectation — the gate
+    fails if the drop path drops too much, too little, or perturbs any
+    surviving value."""
+    from org_dharts_dia_tesseract_spark.operators.multimodal import \
+        audio_features
+    from org_dharts_dia_tesseract_spark.sources.tables import audio_table
+    corrupt = spark.createDataFrame(
+        [("aud-corrupt-0", bytearray(b"RIFF\x04\x00\x00\x00WAVE")),
+         ("aud-corrupt-1", bytearray(b"not-even-riff-bytes"))],
+        "audio_ref string, payload binary")
+    clips = (audio_table(spark, 200).select("audio_ref", "payload")
+             .unionByName(corrupt))
+    return audio_features(clips, on_error="drop")
+
+
 def _video_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video tier of the multimodal surface (round-4 verdict item 6 —
     the last simulated modality made real): MJPEG-in-AVI clips decoded
@@ -452,22 +474,24 @@ def _ocr_spans_lang_hin(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (hash-spread PQ training sample; audio_features' on_error='drop'
 # policy; output-invariant at gate scale but re-verified anyway);
 # (3) the round-3-green backlog. The registry is
-# 103 entries, so 53 sit past the cap: 47 are round-4-green (1 round
-# stale) and 6 are round-3-green (2 rounds stale — ocr_training_corpus,
+# 104 entries, so 54 sit past the cap: 47 are round-4-green (1 round
+# stale) and 7 are round-3-green (2 rounds stale — ocr_training_corpus,
 # ocr_annotated_pages, ocr_word_font_attrs, rollup_orders_by_status,
-# ocr_tiff_merge, embedding_norms — chosen because their code AND
-# oracles are unchanged
+# ocr_tiff_merge, embedding_norms, order_gap_days — chosen because
+# their code AND oracles are unchanged
 # since their last green and an in-window sibling exercises the same
 # code path: the extract/pipeline stages via ocr_extract_spans +
 # ocr_hierarchy, font attrs via ocr_hierarchy, rollup aggs via
 # cube_revenue_nation_status, the TIFF writer via the in-window tiff
 # decode gates' shared codec, the embeddings scan via the four
-# in-window ANN gates).
+# in-window ANN gates, lag/lead window fns via running_total_revenue +
+# moving_avg_value_1h).
 # Everything past the cap is green in scripts/check_gate.py locally;
 # COVERAGE.md carries the auditable ledger.
 _PRIORITY = [
     # (0) new this round
     "video_frame_features", "ivfpq_indexed_topk", "dedup_clusters_star",
+    "audio_features_drop_policy",
     # (1) round-4 rewrites never driver-verified
     "ntile_price_quartiles", "dedup_clusters",
     # (2) round-4-green, code changed this round
@@ -483,7 +507,7 @@ _PRIORITY = [
     "distinct_users_per_type", "asof_join_last_click",
     "embedding_near_dup_pairs", "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume", "cube_revenue_nation_status",
-    "running_total_revenue", "moving_avg_value_1h", "order_gap_days",
+    "running_total_revenue", "moving_avg_value_1h",
     "above_nation_avg_balance", "monthly_revenue_timeseries",
     "paragraph_dedup", "benchmark_contamination", "repetition_quality",
     "line_dedup_global", "ocr_spans_bmp_media",
@@ -552,6 +576,7 @@ _RASTER_GATES = {
     "ocr_spans_tiff_g4_media": _ocr_spans_tiff_g4_media,
     "ocr_spans_pdf_g4_media": _ocr_spans_pdf_g4_media,
     "audio_features": _audio_features,
+    "audio_features_drop_policy": _audio_features_drop_policy,
     "pq_topk_adc": _pq_topk_adc,
     "ivfpq_topk_probe_all": _ivfpq_topk_probe_all,
     "ivfpq_indexed_topk": _ivfpq_indexed_topk,

@@ -519,7 +519,7 @@ def main() -> None:
         ref = f"aud-{i:08d}"
         arows.append({"audio_ref": ref,
                       **wav_features(audio_row_for(ref)["payload"])})
-    write("audio_features", pa.table({
+    audio_tbl = pa.table({
         "audio_ref": pa.array([r["audio_ref"] for r in arows], pa.string()),
         "n_samples": pa.array([r["n_samples"] for r in arows], pa.int32()),
         "channels": pa.array([r["channels"] for r in arows], pa.int32()),
@@ -531,7 +531,14 @@ def main() -> None:
         "peak": pa.array([r["peak"] for r in arows], pa.float64()),
         "zero_crossing_rate": pa.array(
             [r["zero_crossing_rate"] for r in arows], pa.float64()),
-    }))
+    })
+    write("audio_features", audio_tbl)
+    # the drop-policy gate shares the clean expectation: the gate's
+    # input is the same 200 clips PLUS injected undecodable payloads,
+    # run with on_error='drop' — the corrupt rows must vanish without
+    # perturbing any surviving value, so "clean expectation" IS the
+    # oracle for "drop exactly the corrupt rows"
+    write("audio_features_drop_policy", audio_tbl)
     # video tier: single-process twin of operators.multimodal.
     # video_frame_features over the same deterministic MJPEG-in-AVI
     # clips (shared codecs_avi.avi_frame_features kernel, every 2nd
