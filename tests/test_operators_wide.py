@@ -842,3 +842,15 @@ def test_minhash_bucket_cap_rejects_nonpositive(spark):
         D.minhash_lsh_candidates(df, max_bucket=0)
     with pytest.raises(ValueError, match="max_bucket"):
         D.minhash_lsh_candidates(df, max_bucket=-1)
+
+
+def test_star_components_empty_and_selfloops(spark):
+    """Degenerate inputs: an empty pair graph yields an empty labeling
+    (first alternating round is its own fixed point), and self-loop
+    pairs are dropped before contraction — only real edges label."""
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert D.connected_components_star(empty).count() == 0
+    loops = spark.createDataFrame([(5, 5), (2, 3)], ["id_a", "id_b"])
+    got = {(r["id"], r["cluster_id"])
+           for r in D.connected_components_star(loops).collect()}
+    assert got == {(2, 2), (3, 2)}
