@@ -440,6 +440,26 @@ def _video_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_frame_features(video_table(spark, 200), every_k=2)
 
 
+def _video_frame_features_drop_policy(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """Video twin of _audio_features_drop_policy: the same 200
+    deterministic MJPEG-in-AVI clips PLUS two injected undecodable
+    payloads (truncated RIFF; non-RIFF bytes), run with
+    on_error='drop'. The corrupt clips' rows must vanish (counted on
+    the plan) and every surviving frame row must hash bit-identically
+    to the CLEAN single-process expectation."""
+    from org_dharts_dia_tesseract_spark.operators.multimodal import \
+        video_frame_features
+    from org_dharts_dia_tesseract_spark.sources.tables import video_table
+    corrupt = spark.createDataFrame(
+        [("vid-corrupt-0", bytearray(b"RIFF\x08\x00\x00\x00AVI LIST")),
+         ("vid-corrupt-1", bytearray(b"these are not riff bytes"))],
+        "video_ref string, payload binary")
+    clips = (video_table(spark, 200).select("video_ref", "payload")
+             .unionByName(corrupt))
+    return video_frame_features(clips, every_k=2, on_error="drop")
+
+
 def _pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF text-layer parse: render each document's text spans as a
     Tj-stream PDF (sink), then parse the shown strings back out
@@ -474,10 +494,11 @@ def _ocr_spans_lang_hin(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (hash-spread PQ training sample; audio_features' on_error='drop'
 # policy; output-invariant at gate scale but re-verified anyway);
 # (3) the round-3-green backlog. The registry is
-# 104 entries, so 54 sit past the cap: 47 are round-4-green (1 round
-# stale) and 7 are round-3-green (2 rounds stale — ocr_training_corpus,
+# 105 entries, so 55 sit past the cap: 47 are round-4-green (1 round
+# stale) and 8 are round-3-green (2 rounds stale — ocr_training_corpus,
 # ocr_annotated_pages, ocr_word_font_attrs, rollup_orders_by_status,
-# ocr_tiff_merge, embedding_norms, order_gap_days — chosen because
+# ocr_tiff_merge, embedding_norms, order_gap_days,
+# distinct_users_per_type — chosen because
 # their code AND oracles are unchanged
 # since their last green and an in-window sibling exercises the same
 # code path: the extract/pipeline stages via ocr_extract_spans +
@@ -485,13 +506,14 @@ def _ocr_spans_lang_hin(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cube_revenue_nation_status, the TIFF writer via the in-window tiff
 # decode gates' shared codec, the embeddings scan via the four
 # in-window ANN gates, lag/lead window fns via running_total_revenue +
-# moving_avg_value_1h).
+# moving_avg_value_1h, countDistinct aggs on the events scan via
+# events_pivot_counts).
 # Everything past the cap is green in scripts/check_gate.py locally;
 # COVERAGE.md carries the auditable ledger.
 _PRIORITY = [
     # (0) new this round
     "video_frame_features", "ivfpq_indexed_topk", "dedup_clusters_star",
-    "audio_features_drop_policy",
+    "audio_features_drop_policy", "video_frame_features_drop_policy",
     # (1) round-4 rewrites never driver-verified
     "ntile_price_quartiles", "dedup_clusters",
     # (2) round-4-green, code changed this round
@@ -504,7 +526,7 @@ _PRIORITY = [
     "anti_join_idle_customers", "semi_join_active_parts",
     "events_pivot_counts", "set_ops_buyers_vs_eventusers",
     "range_join_error_after_signup", "minby_cheapest_part_per_brand",
-    "distinct_users_per_type", "asof_join_last_click",
+    "asof_join_last_click",
     "embedding_near_dup_pairs", "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume", "cube_revenue_nation_status",
     "running_total_revenue", "moving_avg_value_1h",
@@ -577,6 +599,7 @@ _RASTER_GATES = {
     "ocr_spans_pdf_g4_media": _ocr_spans_pdf_g4_media,
     "audio_features": _audio_features,
     "audio_features_drop_policy": _audio_features_drop_policy,
+    "video_frame_features_drop_policy": _video_frame_features_drop_policy,
     "pq_topk_adc": _pq_topk_adc,
     "ivfpq_topk_probe_all": _ivfpq_topk_probe_all,
     "ivfpq_indexed_topk": _ivfpq_indexed_topk,

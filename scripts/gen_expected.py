@@ -552,7 +552,7 @@ def main() -> None:
         for feats in avi_frame_features(video_row_for(ref)["payload"],
                                         every_k=2):
             vrows.append({"video_ref": ref, **feats})
-    write("video_frame_features", pa.table({
+    video_tbl = pa.table({
         "video_ref": pa.array([r["video_ref"] for r in vrows],
                               pa.string()),
         "frame_idx": pa.array([r["frame_idx"] for r in vrows],
@@ -565,7 +565,11 @@ def main() -> None:
                               pa.float64()),
         "ink_ratio": pa.array([r["ink_ratio"] for r in vrows],
                               pa.float64()),
-    }))
+    })
+    write("video_frame_features", video_tbl)
+    # video drop-policy gate shares the clean expectation (same
+    # rationale as the audio one above)
+    write("video_frame_features_drop_policy", video_tbl)
     # PQ ANN twin: same numpy kernels (similarity._pq_*_np) over the
     # same embeddings parquet; like html_main_content this expectation
     # is per-sf (trained on the sf dir's vectors; default sf0.01 = the
