@@ -389,6 +389,26 @@ def _ivfpq_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk_indexed(spark, path, qs, k=5, nprobe=2)
 
 
+def _semdedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (Abbas et al. 2023): bounded-sample
+    k-means clusters the embedding corpus, then each cluster is pruned
+    locally — keep one representative (lowest id) per group of vectors
+    with within-cluster cosine >= threshold. The gate threshold is 0.35
+    because the synthetic corpus is near-random (max pairwise cosine
+    ~0.51; a production 0.9 would prune nothing and verify nothing) —
+    at 0.35 the prune drops ~15% of vectors, so clustering, greedy
+    leader order, and the keep rule are all load-bearing. The oracle
+    parquet is the single-process twin over the same vectors (shared
+    _kmeans_np/_centroid_dists/_semdedup_prune_np kernels -> bit-exact);
+    like the PQ gates it is per-sf (trained on the sf dir's vectors,
+    valid while the corpus fits init_sample — asserted by the twin)."""
+    from org_dharts_dia_tesseract_spark.operators.similarity import \
+        semdedup
+    from org_dharts_dia_tesseract_spark.sources.tables import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup(emb, n_lists=8, threshold=0.35)
+
+
 def _audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio tier of the multimodal surface: WAV (RIFF/PCM, 8/16-bit,
     mono/stereo) decoded by the from-scratch codecs_wav and reduced to
@@ -512,6 +532,7 @@ def _ocr_spans_lang_hin(spark: SparkSession, sf_dir: str) -> DataFrame:
 # COVERAGE.md carries the auditable ledger.
 _PRIORITY = [
     # (0) new this round
+    "semdedup_kept",
     "video_frame_features", "ivfpq_indexed_topk", "dedup_clusters_star",
     "audio_features_drop_policy", "video_frame_features_drop_policy",
     # (1) round-4 rewrites never driver-verified
@@ -536,8 +557,12 @@ _PRIORITY = [
     "ocr_spans_deflate_media", "ocr_spans_png_media",
     "ocr_spans_gif_media", "ocr_spans_jpeg_media", "ocr_spans_jp2_media",
     "ocr_spans_pdf_media", "pdf_text_extract", "ocr_spans_lang_hin",
-    "ocr_unlv_text", "ocr_page_osd",
+    "ocr_unlv_text",
     # ---- 50-entry driver cap lands here ----
+    # ocr_page_osd (round-3-green, unchanged) deferred to make room for
+    # semdedup_kept (new in round 5): OSD rides the same page-analysis
+    # kernels the in-window hierarchy/layout gates verify end-to-end
+    "ocr_page_osd",
     # round-3-greens deferred to make room for changed/new round-5 code
     # (audio_features' on_error='drop'; dedup_clusters_star): the TIFF
     # merge writer is exercised in-window by the tiff decode gates'
@@ -603,6 +628,7 @@ _RASTER_GATES = {
     "pq_topk_adc": _pq_topk_adc,
     "ivfpq_topk_probe_all": _ivfpq_topk_probe_all,
     "ivfpq_indexed_topk": _ivfpq_indexed_topk,
+    "semdedup_kept": _semdedup_kept,
     "video_frame_features": _video_frame_features,
     "ocr_spans_jp2_media": _ocr_spans_jp2_media,
     "ocr_spans_pdf_media": _ocr_spans_pdf_media,

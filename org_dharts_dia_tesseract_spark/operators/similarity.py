@@ -15,9 +15,13 @@ Two paths, same results where they overlap:
 
 from __future__ import annotations
 
+import logging
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -735,3 +739,139 @@ def ivfpq_topk_indexed(spark, path: str, queries: DataFrame, k: int = 5,
                                              F.col(id_col))
     return (cand.withColumn("rk", F.row_number().over(w).cast("int"))
             .where(F.col("rk") <= k))
+
+
+# -- SemDeDup: cluster-then-prune semantic dedup ---------------------------
+#
+# The embedding leg of the dedup family at corpus scale (SemDeDup,
+# Abbas et al. 2023, arXiv:2303.09540): coarse k-means clusters the
+# corpus so that near-duplicates land in the same cluster, then each
+# cluster is pruned LOCALLY — no corpus-wide pairwise pass ever runs.
+# Training never scans the corpus (bounded hash-spread sample, same
+# draw as every other sample-trained model here), assignment is a
+# narrow broadcast-model map, and the only shuffle co-locates each
+# cluster for its local prune. At 10^12 rows size n_lists so clusters
+# average ~1-10k vectors; `max_cluster` is the skew guard.
+
+#: Default cluster-size cap for semdedup's within-cluster prune. A
+#: cluster of B members costs O(B x kept) dot products and must fit in
+#: one applyInPandas group (one task's memory): 4096 x d=64 float64 is
+#: ~2 MB and ~8M flops worst case — far above any cluster a properly
+#: sized n_lists produces, far below the task-killing regime. Clusters
+#: larger than the cap are passed through UNPRUNED (under-dedup, never
+#: a blown task); pass None to explicitly disable the guard.
+DEFAULT_MAX_CLUSTER = 4096
+
+#: dict from the most recent capped semdedup call (per driver process):
+#: {'passthrough_clusters', 'passthrough_rows', 'max_cluster_seen'} —
+#: the logged evidence that the cluster-cap guard fired (or didn't).
+#: Driver-side (the cluster-size pre-pass is a bounded collect), so
+#: it's populated at call time, before any action on the result.
+last_semdedup_observation = None
+
+
+def _semdedup_prune_np(ids, X, threshold: float):
+    """Greedy leader prune of ONE cluster; returns the kept ids.
+
+    Shared verbatim by the Spark applyInPandas stage and the
+    single-process oracle twin (scripts/gen_expected.py), so both sides
+    run identical float64 arithmetic in identical order — bit-exact.
+
+    Rule: scan ids ascending; a vector is DROPPED iff its cosine to
+    some already-KEPT vector of the cluster is >= threshold, else it
+    becomes a leader. One deterministic representative (the lowest id)
+    survives per near-dup group — the deterministic analog of the
+    SemDeDup paper's keep-one-per-group rule (the paper keeps a random
+    or lowest-centroid-distance member; lowest id is reproducible
+    across engines and runs). Zero-norm vectors have no direction
+    (cosine() NULL semantics above): always kept, never leaders."""
+    import numpy as np
+    order = np.argsort(ids, kind="stable")
+    ids_s, Xs = ids[order], X[order]
+    norms = np.sqrt((Xs * Xs).sum(axis=1))
+    leaders = np.empty_like(Xs)
+    n_lead = 0
+    kept = []
+    for i in range(len(ids_s)):
+        if norms[i] == 0.0:
+            kept.append(ids_s[i])
+            continue
+        v = Xs[i] / norms[i]
+        if n_lead and float((leaders[:n_lead] @ v).max()) >= threshold:
+            continue
+        leaders[n_lead] = v
+        n_lead += 1
+        kept.append(ids_s[i])
+    return kept
+
+
+def semdedup(embeddings: DataFrame, n_lists: int = 8,
+             threshold: float = 0.9, id_col: str = "vec_id",
+             emb_col: str = "embedding",
+             centroids: list[list[float]] | None = None,
+             max_cluster: int | None = DEFAULT_MAX_CLUSTER,
+             init_sample: int = 8192) -> DataFrame:
+    """Semantic dedup: keep one representative per group of vectors
+    whose cosine is >= threshold within a k-means cluster.
+
+    Plan shape (the canonical SemDeDup decomposition): bounded-sample
+    k-means train (zero full-corpus passes) -> broadcast-model
+    assignment (narrow) -> ONE hash exchange on list_id co-locating
+    each cluster for its local numpy prune. The `max_cluster` skew
+    guard is a bounded pre-pass — len(centroids) per-cluster counts,
+    map-side combined, collected driver-side like the training sample —
+    so when no cluster exceeds the cap (the sized-n_lists common case)
+    the guard adds NO branch to the prune plan: one scan, one exchange,
+    no window, no union. Oversized clusters (if any) bypass the prune
+    through a narrow passthrough branch unpruned — a skewed
+    mega-cluster degrades dedup recall, never a task or its memory —
+    and are counted in `last_semdedup_observation` + a warning log.
+    Like kmeans_centroids this runs bounded eager jobs at call time.
+    Returns kept (id_col, list_id)."""
+    if max_cluster is not None and max_cluster < 1:
+        raise ValueError(f"max_cluster must be >= 1 or None to disable "
+                         f"the cap, got {max_cluster}")
+    if centroids is None:
+        centroids = kmeans_centroids(embeddings, n_lists=n_lists,
+                                     id_col=id_col, emb_col=emb_col,
+                                     init_sample=init_sample)
+    assigned = ivf_assign(embeddings, centroids, emb_col) \
+        .select(id_col, emb_col, "list_id")
+    id_type = dict(assigned.dtypes)[id_col]
+    big = None
+    if max_cluster is not None:
+        global last_semdedup_observation
+        counts = {r["list_id"]: r["n"] for r in
+                  assigned.groupBy("list_id")
+                  .agg(F.count("*").alias("n")).collect()}
+        over_ids = sorted(l for l, n in counts.items()
+                          if n > max_cluster)
+        last_semdedup_observation = {
+            "passthrough_clusters": len(over_ids),
+            "passthrough_rows": sum(counts[l] for l in over_ids),
+            "max_cluster_seen": max(counts.values(), default=0),
+        }
+        if over_ids:
+            log.warning(
+                "semdedup: %d cluster(s) exceed max_cluster=%d "
+                "(%d rows) — passed through unpruned",
+                len(over_ids), max_cluster,
+                last_semdedup_observation["passthrough_rows"])
+            big = (assigned.where(F.col("list_id").isin(over_ids))
+                   .select(id_col, "list_id"))
+            assigned = assigned.where(
+                ~F.col("list_id").isin(over_ids))
+    thr = float(threshold)
+    out_schema = f"{id_col} {id_type}, list_id int"
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        kept = _semdedup_prune_np(pdf[id_col].to_numpy(),
+                                  _as_f64(list(pdf[emb_col])), thr)
+        return pd.DataFrame({
+            id_col: kept,
+            "list_id": np.full(len(kept), int(pdf["list_id"].iloc[0]),
+                               dtype="int32")})
+
+    pruned = assigned.groupBy("list_id").applyInPandas(prune, out_schema)
+    return pruned.unionByName(big) if big is not None else pruned

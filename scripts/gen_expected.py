@@ -667,6 +667,26 @@ def main() -> None:
         "adc_ip": pa.array([r["adc_ip"] for r in xrows], pa.float64()),
         "rk": pa.array([r["rk"] for r in xrows], pa.int32()),
     }))
+    # SemDeDup twin: shared kernels (_kmeans_np coarse model over the
+    # same id-sorted vectors = the Spark side's full-corpus-at-gate-
+    # scale sample, _centroid_dists assignment, _semdedup_prune_np
+    # greedy leader prune per cluster) -> kept ids hash bit-exact.
+    # Per-sf like the PQ twins (same init_sample assertion above).
+    from org_dharts_dia_tesseract_spark.operators.similarity import (
+        _centroid_dists, _kmeans_np, _semdedup_prune_np)
+    C8 = _kmeans_np(X, 8, 3)
+    sd_assign = _centroid_dists([list(map(float, c)) for c in C8])(
+        pd.Series(list(X))).argmin(axis=1)
+    sd_ids, sd_lists = [], []
+    for c in range(8):
+        mask = sd_assign == c
+        for kid in _semdedup_prune_np(ids[mask], X[mask], 0.35):
+            sd_ids.append(int(kid))
+            sd_lists.append(c)
+    write("semdedup_kept", pa.table({
+        "vec_id": pa.array(sd_ids, pa.int64()),
+        "list_id": pa.array(sd_lists, pa.int32()),
+    }))
     write("ocr_unlv_text", _unlv_table(hier))
     write("ocr_training_corpus", _training_table(spans))
     write("ocr_annotated_pages", _annotated_table(corpus, CAP_ANNOTATED))
