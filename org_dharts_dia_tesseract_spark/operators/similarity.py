@@ -828,15 +828,46 @@ def semdedup(embeddings: DataFrame, n_lists: int = 8,
     and are counted in `last_semdedup_observation` + a warning log.
     Like kmeans_centroids this runs bounded eager jobs at call time.
     Returns kept (id_col, list_id)."""
-    if max_cluster is not None and max_cluster < 1:
-        raise ValueError(f"max_cluster must be >= 1 or None to disable "
-                         f"the cap, got {max_cluster}")
     if centroids is None:
         centroids = kmeans_centroids(embeddings, n_lists=n_lists,
                                      id_col=id_col, emb_col=emb_col,
                                      init_sample=init_sample)
     assigned = ivf_assign(embeddings, centroids, emb_col) \
         .select(id_col, emb_col, "list_id")
+    return _semdedup_over_assigned(assigned, threshold, id_col,
+                                   emb_col, max_cluster)
+
+
+def semdedup_indexed(spark, path: str, threshold: float = 0.9,
+                     id_col: str = "vec_id", emb_col: str = "embedding",
+                     max_cluster: int | None = DEFAULT_MAX_CLUSTER
+                     ) -> DataFrame:
+    """SemDeDup over a persisted IVF index (`ivf_write_index` output):
+    the cluster assignment is already on disk partitioned by list_id,
+    so the whole train-and-assign front half of `semdedup` disappears —
+    the plan is scan -> one list_id exchange -> per-cluster prune, and
+    the guard's counts pre-pass reads ONLY the list_id partition column
+    (column pruning makes it near-free). This is the write-once/
+    dedup-many shape for 100 TB: the same stored index serves
+    `ivf_topk_indexed` queries and dedup sweeps at any threshold
+    without re-clustering. Same kept set as `semdedup` run with the
+    index's centroids (pinned by tests/test_semdedup.py)."""
+    assigned = spark.read.parquet(path) \
+        .select(id_col, emb_col, F.col("list_id").cast("int")
+                .alias("list_id"))
+    return _semdedup_over_assigned(assigned, threshold, id_col,
+                                   emb_col, max_cluster)
+
+
+def _semdedup_over_assigned(assigned: DataFrame, threshold: float,
+                            id_col: str, emb_col: str,
+                            max_cluster: int | None) -> DataFrame:
+    """Shared back half of semdedup/semdedup_indexed: the max_cluster
+    guard pre-pass + the groupBy(list_id) greedy leader prune over an
+    already-assigned (id, embedding, list_id) frame."""
+    if max_cluster is not None and max_cluster < 1:
+        raise ValueError(f"max_cluster must be >= 1 or None to disable "
+                         f"the cap, got {max_cluster}")
     id_type = dict(assigned.dtypes)[id_col]
     big = None
     if max_cluster is not None:

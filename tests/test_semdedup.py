@@ -124,3 +124,35 @@ class TestSemdedupSpark:
                 for r in semdedup(df, n_lists=2,
                                   threshold=0.95).collect()}
         assert kept == set(range(40))   # originals kept, dups dropped
+
+
+class TestSemdedupIndexed:
+    def test_indexed_matches_in_memory(self, spark, emb, tmp_path):
+        """semdedup over a persisted IVF index == semdedup run with the
+        index's centroids: the stored assignment replaces the
+        train+assign front half without changing the kept set."""
+        from org_dharts_dia_tesseract_spark.operators.similarity import (
+            ivf_write_index, semdedup_indexed)
+        path = str(tmp_path / "ivf")
+        centroids = ivf_write_index(emb, path, n_lists=4)
+        want = {(r["vec_id"], r["list_id"]) for r in
+                semdedup(emb, threshold=0.35,
+                         centroids=centroids).collect()}
+        got = {(r["vec_id"], r["list_id"]) for r in
+               semdedup_indexed(spark, path, threshold=0.35).collect()}
+        assert got == want and len(got) < emb.count()
+
+    def test_indexed_plan_has_no_assignment_stage(self, spark, emb,
+                                                  tmp_path):
+        """The read path never re-assigns: no ArrowEvalPython (the
+        broadcast-model assignment UDF) anywhere in the plan — one
+        parquet scan, one exchange, the prune."""
+        from org_dharts_dia_tesseract_spark.operators.similarity import (
+            ivf_write_index, semdedup_indexed)
+        path = str(tmp_path / "ivf")
+        ivf_write_index(emb, path, n_lists=4)
+        df = semdedup_indexed(spark, path, threshold=0.35)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+        assert "Union" not in plan and "Window" not in plan
