@@ -409,6 +409,29 @@ def _semdedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(emb, n_lists=8, threshold=0.35)
 
 
+def _semdedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over a PERSISTED IVF index — the write-once/dedup-many
+    shape: `ivf_write_index` stores (vec_id, embedding, list_id)
+    partitionBy(list_id) once, then the dedup sweep reads the stored
+    assignment and runs only the shared `_semdedup_over_assigned` back
+    half (scan -> one list_id exchange -> per-cluster numpy prune); no
+    train/assign stage anywhere in the read plan (pinned by
+    tests/test_semdedup.py::test_indexed_plan_has_no_assignment_stage).
+    The index's kmeans model is identical to semdedup's own (same
+    kmeans_centroids defaults over the same corpus), so the kept set —
+    and the oracle parquet — is bit-identical to semdedup_kept's; what
+    this gate adds over it is the stored-assignment read path."""
+    from org_dharts_dia_tesseract_spark.operators.similarity import (
+        ivf_write_index, semdedup_indexed)
+    from org_dharts_dia_tesseract_spark.sources.tables import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    label = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "data", "gen", f"semdedup_index_{label}")
+    ivf_write_index(emb, path, n_lists=8)
+    return semdedup_indexed(spark, path, threshold=0.35)
+
+
 def _audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio tier of the multimodal surface: WAV (RIFF/PCM, 8/16-bit,
     mono/stereo) decoded by the from-scratch codecs_wav and reduced to
@@ -559,6 +582,13 @@ _PRIORITY = [
     "ocr_spans_pdf_media", "pdf_text_extract", "ocr_spans_lang_hin",
     "ocr_unlv_text",
     # ---- 50-entry driver cap lands here ----
+    # semdedup_indexed (new in round 5, added after the window was
+    # allocated): its entire prune back half is the in-window
+    # semdedup_kept's `_semdedup_over_assigned` (bit-identical kept
+    # set), and its stored-index read path is in-window via
+    # ivfpq_indexed_topk — so the only never-driver-checked code is the
+    # two-line stored-assignment scan; pytest + local mirror cover it
+    "semdedup_indexed",
     # ocr_page_osd (round-3-green, unchanged) deferred to make room for
     # semdedup_kept (new in round 5): OSD rides the same page-analysis
     # kernels the in-window hierarchy/layout gates verify end-to-end
@@ -629,6 +659,7 @@ _RASTER_GATES = {
     "ivfpq_topk_probe_all": _ivfpq_topk_probe_all,
     "ivfpq_indexed_topk": _ivfpq_indexed_topk,
     "semdedup_kept": _semdedup_kept,
+    "semdedup_indexed": _semdedup_indexed,
     "video_frame_features": _video_frame_features,
     "ocr_spans_jp2_media": _ocr_spans_jp2_media,
     "ocr_spans_pdf_media": _ocr_spans_pdf_media,

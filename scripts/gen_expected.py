@@ -687,6 +687,16 @@ def main() -> None:
         "vec_id": pa.array(sd_ids, pa.int64()),
         "list_id": pa.array(sd_lists, pa.int32()),
     }))
+    # semdedup_indexed twin: the persisted-index path prunes the SAME
+    # clustering (ivf_write_index trains kmeans_centroids with identical
+    # defaults over the identical id-sorted full-corpus-at-gate-scale
+    # sample), so the kept set is bit-identical to semdedup_kept's —
+    # what the gate adds is the read path: assignment comes from stored
+    # list_id partitions, never an assignment UDF.
+    write("semdedup_indexed", pa.table({
+        "vec_id": pa.array(sd_ids, pa.int64()),
+        "list_id": pa.array(sd_lists, pa.int32()),
+    }))
     write("ocr_unlv_text", _unlv_table(hier))
     write("ocr_training_corpus", _training_table(spans))
     write("ocr_annotated_pages", _annotated_table(corpus, CAP_ANNOTATED))
