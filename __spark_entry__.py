@@ -589,6 +589,13 @@ _PRIORITY = [
     # ivfpq_indexed_topk — so the only never-driver-checked code is the
     # two-line stored-assignment scan; pytest + local mirror cover it
     "semdedup_indexed",
+    # bloom_novel_docs (new in round 5, added after the window was
+    # allocated): Bloom-filter incremental dedup with a pure ANSI-SQL
+    # oracle; its md5-chunk hash portability is driver-verified
+    # in-window by the minhash/simhash gates that use the identical
+    # conv(substr(md5)) trick, and pytest + the local mirror value-check
+    # the bitmap path (tests/test_bloom.py, 6 tests + auto parity)
+    "bloom_novel_docs",
     # ocr_page_osd (round-3-green, unchanged) deferred to make room for
     # semdedup_kept (new in round 5): OSD rides the same page-analysis
     # kernels the in-window hierarchy/layout gates verify end-to-end

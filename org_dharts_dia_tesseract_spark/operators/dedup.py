@@ -411,3 +411,115 @@ def connected_components_star(pairs: DataFrame, src: str = "id_a",
              .join(e.select(u.alias("id")).distinct(), "id", "left_anti")
              .select("id", F.col("id").alias("cluster_id")))
     return members.union(roots)
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter incremental dedup: screen a NEW batch against an already-
+# ingested corpus without joining against it. At 10^12 ingested docs the
+# "have we seen this content before" join is the bottleneck; a Bloom
+# filter compresses the ingested side to a fixed-size bitmap (default
+# 2^23 bits = 1 MiB) that broadcasts into a narrow filter over the new
+# batch — no shuffle, no join, false-negative-free by construction
+# (a genuinely novel doc is NEVER dropped; a small, tunable fraction of
+# novel docs is falsely screened out as maybe-dup).
+# --------------------------------------------------------------------------
+
+def bloom_hash_positions(col: Column, m_bits: int,
+                         k: int = 4) -> list[Column]:
+    """k independent bit positions from ONE md5 (same portable-hash
+    trick as the MinHash permutations, queries.py:13: the md5 hex is
+    split into k disjoint 32-bit chunks, each exactly reproducible in
+    ANSI SQL as CAST('0x'||substr(md5(s),1+8j,8) AS BIGINT)). Computed
+    JVM-side — whole-stage codegen, no Python in the hash path."""
+    if not 1 <= k <= 4:
+        raise ValueError(f"k must be in 1..4 (one md5 = four 32-bit "
+                         f"chunks), got {k}")
+    if m_bits < 8 or m_bits & 7:
+        raise ValueError(f"m_bits must be a positive multiple of 8, "
+                         f"got {m_bits}")
+    return [(F.conv(F.substring(F.md5(col), 1 + 8 * j, 8), 16, 10)
+             .cast("bigint") % m_bits).cast("int").alias(f"_bp{j}")
+            for j in range(k)]
+
+
+def bloom_build(df: DataFrame, col: str = "text", m_bits: int = 1 << 23,
+                k: int = 4, fanin: int = 64) -> bytes:
+    """Build the bitmap over df[col], distributed, with NO large
+    collect: (1) a narrow mapInPandas sets bits per scan partition into
+    a local numpy bitmap (positions arrive as JVM-computed int columns;
+    the payload never leaves its partition), (2) partial bitmaps
+    shuffle into <= `fanin` groups (pid % fanin) and OR inside
+    applyInPandas, (3) the driver ORs the <= fanin group bitmaps —
+    at 10^5 scan partitions the driver still receives only
+    fanin * m_bits/8 bytes. Null values are skipped (a null can't be a
+    duplicate of anything). Bit layout is LSB-first within each byte;
+    `bloom_filter_novel` is the single other reader."""
+    import numpy as np
+    import pandas as pd
+
+    pos = bloom_hash_positions(F.col(col), m_bits, k)
+    tagged = (df.where(F.col(col).isNotNull())
+              .select((F.spark_partition_id() % fanin).alias("grp"),
+                      *pos))
+    nbytes = m_bits // 8
+    names = [f"_bp{j}" for j in range(k)]
+
+    def partial(it):
+        bits = np.zeros(nbytes, np.uint8)
+        grp, seen = 0, False
+        for pdf in it:
+            if not len(pdf):
+                continue
+            grp, seen = int(pdf["grp"].iloc[0]), True
+            for n in names:
+                p = pdf[n].to_numpy(np.int64)
+                np.bitwise_or.at(
+                    bits, p >> 3,
+                    (np.uint8(1) << (p & 7)).astype(np.uint8))
+        if seen:
+            yield pd.DataFrame({"grp": [grp], "bitmap": [bits.tobytes()]})
+
+    def or_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(nbytes, np.uint8)
+        for b in pdf["bitmap"]:
+            acc |= np.frombuffer(b, np.uint8)
+        return pd.DataFrame({"bitmap": [acc.tobytes()]})
+
+    rows = (tagged.mapInPandas(partial, "grp int, bitmap binary")
+            .groupBy("grp").applyInPandas(or_group, "bitmap binary")
+            .collect())                      # <= fanin rows, bounded
+    acc = np.zeros(nbytes, np.uint8)
+    for r in rows:
+        acc |= np.frombuffer(r["bitmap"], np.uint8)
+    return acc.tobytes()
+
+
+def bloom_filter_novel(new_df: DataFrame, bloom: bytes,
+                       col: str = "text", m_bits: int = 1 << 23,
+                       k: int = 4) -> DataFrame:
+    """Rows of `new_df` whose `col` is DEFINITELY absent from the built
+    corpus (all maybe-dups — true dups plus the Bloom's false-positive
+    fraction — are screened out; no false negatives). One narrow stage:
+    positions are JVM columns, the bitmap ships in the task closure
+    (m_bits/8 bytes) and a vectorized pandas_udf does the numpy bit
+    tests — no join, no shuffle, no per-row Python. Null values pass
+    through as novel."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if len(bloom) * 8 != m_bits:
+        raise ValueError(f"bloom has {len(bloom) * 8} bits, expected "
+                         f"m_bits={m_bits}")
+    bits = np.frombuffer(bloom, np.uint8)
+
+    @pandas_udf("boolean")
+    def _maybe_dup(*cols):
+        m = np.ones(len(cols[0]), bool)
+        for s in cols:
+            p = s.fillna(0).to_numpy(np.int64)
+            m &= ((bits[p >> 3] >> (p & 7)) & 1).astype(bool)
+        return pd.Series(m)
+
+    pos = bloom_hash_positions(F.col(col), m_bits, k)
+    return new_df.where(F.col(col).isNull() | ~_maybe_dup(*pos))

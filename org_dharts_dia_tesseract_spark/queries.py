@@ -458,6 +458,60 @@ def dedup_exact(spark, sf_dir):
                  F.min("doc_id").alias("keeper_doc_id")))
 
 
+def _bloom_pos_sql(expr: str, j: int, m: int) -> str:
+    """DuckDB twin of bloom_hash_positions chunk j (queries.py:13)."""
+    return (f"CAST('0x' || substr(md5({expr}), {1 + 8 * j}, 8) "
+            f"AS BIGINT) % {m}")
+
+
+_BLOOM_M = 2048   # gate-scale bitmap; see bloom_novel_docs docstring
+
+
+@q("bloom_novel_docs", f"""
+    WITH hist AS (
+      SELECT text FROM documents WHERE doc_id % 2 = 0
+                                   AND text IS NOT NULL),
+    hist_pos AS (
+      SELECT DISTINCT {_bloom_pos_sql('text', 0, _BLOOM_M)} AS pos FROM hist
+      UNION SELECT {_bloom_pos_sql('text', 1, _BLOOM_M)} FROM hist
+      UNION SELECT {_bloom_pos_sql('text', 2, _BLOOM_M)} FROM hist
+      UNION SELECT {_bloom_pos_sql('text', 3, _BLOOM_M)} FROM hist)
+    SELECT doc_id, md5(text) AS text_hash
+    FROM documents
+    WHERE doc_id % 2 = 1
+      AND (text IS NULL
+           OR {_bloom_pos_sql('text', 0, _BLOOM_M)}
+              NOT IN (SELECT pos FROM hist_pos)
+           OR {_bloom_pos_sql('text', 1, _BLOOM_M)}
+              NOT IN (SELECT pos FROM hist_pos)
+           OR {_bloom_pos_sql('text', 2, _BLOOM_M)}
+              NOT IN (SELECT pos FROM hist_pos)
+           OR {_bloom_pos_sql('text', 3, _BLOOM_M)}
+              NOT IN (SELECT pos FROM hist_pos))
+""")
+def bloom_novel_docs(spark, sf_dir):
+    """Bloom-filter incremental dedup: the even-doc_id half of the
+    corpus plays the already-ingested 10^12-doc archive, the odd half
+    is the incoming batch; `bloom_build` compresses the archive to a
+    bitmap (narrow per-partition bit-set -> <= fanin-row OR shuffle ->
+    driver OR), and `bloom_filter_novel` screens the batch in ONE
+    narrow stage — no join against the archive, no false negatives.
+    The SQL oracle IS the Bloom semantics (bit set <=> position in the
+    archive's position set), so both the md5-chunk hash portability
+    AND the numpy bit packing are value-checked. m_bits=2048 here —
+    deliberately tiny so the archive's ~860 set bits force a few
+    deterministic false positives at gate scale and the dropped-row
+    set is load-bearing (production default is 1 MiB = 2^23 bits);
+    operators/dedup.py:bloom_build."""
+    from .operators.dedup import bloom_build, bloom_filter_novel
+    docs = load_table(spark, sf_dir, "documents")
+    bloom = bloom_build(docs.where(F.col("doc_id") % 2 == 0),
+                        col="text", m_bits=_BLOOM_M)
+    return (bloom_filter_novel(docs.where(F.col("doc_id") % 2 == 1),
+                               bloom, col="text", m_bits=_BLOOM_M)
+            .select("doc_id", F.md5("text").alias("text_hash")))
+
+
 _SHINGLES_SQL = f"""
     SELECT doc_id, shingle
     FROM (SELECT doc_id,
