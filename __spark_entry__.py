@@ -596,6 +596,11 @@ _PRIORITY = [
     # conv(substr(md5)) trick, and pytest + the local mirror value-check
     # the bitmap path (tests/test_bloom.py, 6 tests + auto parity)
     "bloom_novel_docs",
+    # stratified_sample_docs (new in round 5, post-allocation): pure
+    # codegen CASE+filter over the same portable md5 hash the in-window
+    # minhash/simhash gates verify; pytest tests/test_sampling.py +
+    # auto-parity at sf0.001 + local mirror
+    "stratified_sample_docs",
     # ocr_page_osd (round-3-green, unchanged) deferred to make room for
     # semdedup_kept (new in round 5): OSD rides the same page-analysis
     # kernels the in-window hierarchy/layout gates verify end-to-end

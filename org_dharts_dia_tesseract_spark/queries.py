@@ -512,6 +512,33 @@ def bloom_novel_docs(spark, sf_dir):
             .select("doc_id", F.md5("text").alias("text_hash")))
 
 
+@q("stratified_sample_docs", """
+    SELECT doc_id, source
+    FROM documents
+    WHERE CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)),
+                              1, 8) AS BIGINT) / 4294967296.0
+          < CASE source WHEN 'src0' THEN CAST(0.5  AS DOUBLE)
+                        WHEN 'src3' THEN CAST(0.25 AS DOUBLE)
+                        WHEN 'src7' THEN CAST(0.05 AS DOUBLE)
+                        ELSE CAST(0.1 AS DOUBLE) END
+""")
+def stratified_sample_docs(spark, sf_dir):
+    """Deterministic corpus mixing: per-source keep rates applied via
+    a salted-md5 uniform over the doc's OWN id — a pure function of
+    (salt, doc_id), so the sample is reproducible across runs,
+    partitionings, Spark versions, and engines (unlike sample/sampleBy,
+    whose RNG stream is partitioning-dependent), which is what makes a
+    resumed 10^12-doc curation job emit the same corpus. One narrow
+    codegen CASE + filter: no shuffle, no join, no Python;
+    operators/sampling.py."""
+    from .operators.sampling import stratified_sample
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, {"src0": 0.5, "src3": 0.25, "src7": 0.05},
+        strata_col="source", id_col="doc_id", default_rate=0.1,
+        salt="mix").select("doc_id", "source")
+
+
 _SHINGLES_SQL = f"""
     SELECT doc_id, shingle
     FROM (SELECT doc_id,
